@@ -1,0 +1,260 @@
+"""Polymorphic CLI: mode dispatch by positional-file extensions
+(reference: train.py:1354-1565).
+
+  Training:        train.py data.yaml [OPTIONS]
+  Evaluation:      train.py data.yaml model.ckpt
+  Inference:       train.py image.jpg model.ckpt
+  Inspect:         train.py model.ckpt
+  Compute Anchors: train.py data.yaml --compute-anchors
+
+Checkpoints use `.ckpt` / `.msgpack` (msgpack schema, see
+utils/checkpoint.py) instead of torch `.pt`. Two deliberate improvements
+over the reference dispatcher (SURVEY.md §3.6): `num_classes` is read back
+from the checkpoint in inference/inspect modes (the reference writes it
+but defaults to 1 from the missing yaml, train.py:1390-1417), and the loss
+decode uses the true img_size unless `--reference-quirks` is passed.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import jax
+import numpy as np
+
+from yolo_from_scratch_tpu.config import YOLO_SIZES, YoloConfig
+from yolo_from_scratch_tpu.data.dataset import YoloDataset
+from yolo_from_scratch_tpu.data.loader import DataLoader
+from yolo_from_scratch_tpu.infer.predict import Predictor
+from yolo_from_scratch_tpu.models.yolo import YOLO, count_params
+from yolo_from_scratch_tpu.train.loop import eval_epoch, fit
+from yolo_from_scratch_tpu.train.steps import (
+    create_train_state,
+    make_eval_step,
+    make_train_step,
+)
+from yolo_from_scratch_tpu.utils.anchors import compute_optimal_anchors
+from yolo_from_scratch_tpu.utils.checkpoint import load_checkpoint
+from yolo_from_scratch_tpu.utils.yaml_cfg import load_dataset_yaml
+
+CKPT_EXTS = (".ckpt", ".msgpack")
+IMG_EXTS = (".jpg", ".png", ".jpeg")
+
+
+def build_parser():
+    parser = argparse.ArgumentParser(description="YOLO Training/Inference (TPU)")
+    parser.add_argument("files", nargs="*",
+                        help="YAML config, .ckpt model, or image file")
+    parser.add_argument("--size", type=str, default="s",
+                        choices=list(YOLO_SIZES.keys()),
+                        help="Model size: n(ano), s(mall), m(edium), l(arge), "
+                             "x(large) (default: s)")
+    parser.add_argument("--img-size", type=int, default=640,
+                        help="Input image size (default: 640)")
+    parser.add_argument("--lr", type=float, default=1e-2,
+                        help="Initial learning rate (default: 0.01)")
+    parser.add_argument("--warmup-epochs", type=int, default=3,
+                        help="Number of warmup epochs (default: 3)")
+    parser.add_argument("--min-lr", type=float, default=1e-4,
+                        help="Minimum learning rate (default: 0.0001)")
+    parser.add_argument("--epochs", type=int, default=100,
+                        help="Total training epochs (default: 100)")
+    parser.add_argument("--batch-size", type=int, default=8,
+                        help="Batch size (default: 8, reference parity)")
+    parser.add_argument("--compute-anchors", action="store_true",
+                        help="Compute optimal anchors for dataset using k-means")
+    parser.add_argument("--dtype", type=str, default="float32",
+                        choices=["float32", "bfloat16"],
+                        help="Compute dtype for the conv path")
+    parser.add_argument("--data-parallel", action="store_true",
+                        help="Shard batches over all local devices (DP mesh)")
+    parser.add_argument("--reference-quirks", action="store_true",
+                        help="Replicate the reference's 640-denominator decode "
+                             "in loss/eval at non-640 resolutions")
+    parser.add_argument("--seed", type=int, default=0)
+    return parser
+
+
+def print_usage():
+    print("Usage:")
+    print("  Training:        python train.py data.yaml [OPTIONS]")
+    print("  Evaluation:      python train.py data.yaml model.ckpt [--img-size SIZE]")
+    print("  Inference:       python train.py image.jpg model.ckpt [--img-size SIZE]")
+    print("  Inspect:         python train.py model.ckpt")
+    print("  Compute Anchors: python train.py data.yaml --compute-anchors "
+          "[--img-size SIZE]")
+    print("")
+    print("Options:")
+    print("  --size {n,s,m,l,x}     Model size variant (default: s)")
+    print("  --img-size SIZE        Input image size (default: 640)")
+    print("                         Must be divisible by 32 (e.g., 416, 512, 640, 1280)")
+    print("  --lr LR                Initial learning rate (default: 0.01)")
+    print("  --min-lr LR            Minimum learning rate (default: 0.0001)")
+    print("  --warmup-epochs N      Number of warmup epochs (default: 3)")
+    print("  --epochs N             Total training epochs (default: 100)")
+    print("  --compute-anchors      Run k-means clustering to find optimal anchors")
+
+
+def _param_tree_items(params, prefix=""):
+    for key in sorted(params.keys()):
+        val = params[key]
+        name = f"{prefix}.{key}" if prefix else key
+        if isinstance(val, dict):
+            yield from _param_tree_items(val, name)
+        else:
+            yield name, val
+
+
+def _load_model_from_ckpt(ckpt_file, dtype=None):
+    variables, cfg, meta = load_checkpoint(ckpt_file)
+    if dtype:
+        cfg = cfg.with_(compute_dtype=dtype)
+    return variables, cfg, meta
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    yaml_file = next(
+        (a for a in args.files if a.endswith((".yaml", ".yml"))), None
+    )
+    ckpt_file = next((a for a in args.files if a.endswith(CKPT_EXTS)), None)
+    image_file = next((a for a in args.files if a.endswith(IMG_EXTS)), None)
+
+    if args.compute_anchors:
+        if not yaml_file:
+            print("ERROR: --compute-anchors requires a dataset YAML file")
+            print("Usage: python train.py dataset.yaml --compute-anchors "
+                  "[--img-size SIZE]")
+            sys.exit(1)
+        print(f"Computing optimal anchors for {yaml_file} at "
+              f"img_size={args.img_size}...")
+        compute_optimal_anchors(yaml_file, img_size=args.img_size)
+        sys.exit(0)
+
+    num_classes = 1
+    config = None
+    if yaml_file:
+        config = load_dataset_yaml(yaml_file)
+        num_classes = config.get("nc", 1)
+
+    size_cfg = YOLO_SIZES[args.size]
+    print(f"Creating YOLOv5{args.size.upper()} "
+          f"(width={size_cfg['width_mult']}, depth={size_cfg['depth_mult']})")
+
+    if ckpt_file and not yaml_file and not image_file:
+        # ----- Inspect mode -----
+        variables, cfg, meta = _load_model_from_ckpt(ckpt_file)
+        print(f"Model loaded from {ckpt_file}")
+        print(f"Number of classes: {cfg.num_classes}")
+        print(f"Image size: {cfg.img_size}")
+        print(f"Width multiplier: {cfg.width_mult}")
+        print(f"Depth multiplier: {cfg.depth_mult}")
+        print("\nModel architecture:")
+        total = 0
+        for name, p in _param_tree_items(variables["params"]):
+            n = int(np.prod(p.shape))
+            total += n
+            print(f"  {name}: {list(p.shape)}, {n} parameters")
+        print(f"\nTotal parameters: {total:,}")
+
+    elif image_file and ckpt_file:
+        # ----- Inference mode -----
+        variables, cfg, meta = _load_model_from_ckpt(ckpt_file, args.dtype)
+        print(f"Running inference on {image_file}")
+        print(f"Model: {ckpt_file}, Classes: {cfg.num_classes}, "
+              f"Image size: {cfg.img_size}")
+        predictor = Predictor(variables, cfg)
+        detections = predictor(image_file)
+        if len(detections) == 0:
+            print("No objects detected.")
+        else:
+            print(f"\nDetected {len(detections)} object(s):")
+            for i, (x1, y1, x2, y2, conf, class_id) in enumerate(detections):
+                print(f"  {i + 1}. Box: ({x1:.1f}, {y1:.1f}, {x2:.1f}, {y2:.1f}), "
+                      f"Confidence: {conf:.3f}, Class: {int(class_id)}")
+
+    elif yaml_file and config is not None:
+        mesh = None
+        if args.data_parallel:
+            from yolo_from_scratch_tpu.parallel.mesh import make_mesh
+
+            mesh = make_mesh()
+            print(f"Data-parallel mesh over {mesh.size} device(s)")
+
+        if ckpt_file:
+            # ----- Eval mode -----
+            variables, cfg, meta = _load_model_from_ckpt(ckpt_file, args.dtype)
+            print(f"Evaluating model from {ckpt_file}")
+            print(f"Number of classes: {cfg.num_classes}")
+            print(f"Image size: {cfg.img_size}")
+            print(f"Width multiplier: {cfg.width_mult}")
+            print(f"Depth multiplier: {cfg.depth_mult}")
+
+            model = YOLO(cfg)
+            eval_step = make_eval_step(model, cfg, quirk_640=args.reference_quirks)
+            anchors = cfg.anchors_array
+            mk_loader = lambda split: DataLoader(
+                YoloDataset(config[split], cfg.num_classes, anchors, cfg.img_size),
+                batch_size=args.batch_size,
+            )
+            for title, split in (("Training", "train"), ("Validation", "val")):
+                loss, p, r, f1 = eval_epoch(
+                    eval_step, variables["params"], variables["batch_stats"],
+                    mk_loader(split), mesh,
+                )
+                print(f"\n{title} Set:")
+                print(f"  Loss: {loss:.4f}")
+                print(f"  Precision: {p:.2f}%")
+                print(f"  Recall: {r:.2f}%")
+                print(f"  F1 Score: {f1:.2f}%")
+        else:
+            # ----- Train mode -----
+            cfg = YoloConfig(
+                num_classes=num_classes,
+                img_size=args.img_size,
+                width_mult=size_cfg["width_mult"],
+                depth_mult=size_cfg["depth_mult"],
+                compute_dtype=args.dtype,
+            )
+            anchors = cfg.anchors_array
+            train_loader = DataLoader(
+                YoloDataset(config["train"], num_classes, anchors, cfg.img_size),
+                batch_size=args.batch_size, shuffle=True, seed=args.seed,
+            )
+            val_loader = DataLoader(
+                YoloDataset(config["val"], num_classes, anchors, cfg.img_size),
+                batch_size=args.batch_size,
+            )
+            print("Training YOLO model")
+            print(f"Number of classes: {num_classes}")
+            print(f"Training images: {len(train_loader.dataset)}")
+            print(f"Validation images: {len(val_loader.dataset)}")
+            print(f"Device: {jax.devices()[0].platform}")
+            print("\nLearning Rate Schedule:")
+            print(f"  Initial LR: {args.lr}")
+            print(f"  Minimum LR: {args.min_lr}")
+            print(f"  Warmup epochs: {args.warmup_epochs}")
+            print(f"  Total epochs: {args.epochs}")
+
+            model, tx, state = create_train_state(
+                jax.random.PRNGKey(args.seed), cfg, args.lr
+            )
+            train_step = make_train_step(
+                model, tx, cfg, quirk_640=args.reference_quirks
+            )
+            eval_step = make_eval_step(model, cfg, quirk_640=args.reference_quirks)
+
+            state, save_path = fit(
+                model, tx, state, train_step, eval_step, train_loader,
+                val_loader, cfg, epochs=args.epochs, initial_lr=args.lr,
+                min_lr=args.min_lr, warmup_epochs=args.warmup_epochs, mesh=mesh,
+            )
+            print(f"\nTraining complete. Model saved to {save_path}")
+    else:
+        print_usage()
+
+
+if __name__ == "__main__":
+    main()

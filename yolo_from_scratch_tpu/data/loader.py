@@ -1,0 +1,82 @@
+"""Batched data loader with background prefetch.
+
+The reference iterates a torch DataLoader with no workers (reference:
+train.py:1471-1474), so host-side PIL decode + target building serialize
+with device compute. Here a background thread prepares the next batch
+(decode, letterbox, dense target assignment, stacking) while the TPU runs
+the current step — a double-buffered host->device pipeline. Batches are
+numpy; device placement (with sharding) happens in the training loop via
+`jax.device_put`, so the loader stays backend-agnostic.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+
+import numpy as np
+
+
+class DataLoader:
+    """Minimal shuffling/batching loader over a YoloDataset-like object.
+
+    Yields (images (B, S, S, 3) float32, [t_p3, t_p4, t_p5]) per batch,
+    each target stacked to (B, gs, gs, A, 5+nc). The final partial batch is
+    kept (reference DataLoader default drop_last=False).
+    """
+
+    def __init__(self, dataset, batch_size=8, shuffle=False, seed=0,
+                 prefetch=2):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.prefetch = prefetch
+        self._rng = np.random.default_rng(seed)
+
+    def __len__(self):
+        n = len(self.dataset)
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _batch_indices(self):
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            self._rng.shuffle(idx)
+        for i in range(0, len(idx), self.batch_size):
+            yield idx[i : i + self.batch_size]
+
+    def _make_batch(self, indices):
+        imgs, tgts = [], []
+        for i in indices:
+            img, t = self.dataset[int(i)]
+            imgs.append(img)
+            tgts.append(t)
+        images = np.stack(imgs).astype(np.float32)
+        targets = [
+            np.stack([t[s] for t in tgts]).astype(np.float32) for s in range(3)
+        ]
+        return images, targets
+
+    def __iter__(self):
+        if self.prefetch <= 0:
+            for indices in self._batch_indices():
+                yield self._make_batch(indices)
+            return
+
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        _SENTINEL = object()
+
+        def producer():
+            try:
+                for indices in self._batch_indices():
+                    q.put(self._make_batch(indices))
+            finally:
+                q.put(_SENTINEL)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is _SENTINEL:
+                break
+            yield item
+        t.join()

@@ -1,0 +1,138 @@
+"""Single-image inference with cross-scale global NMS.
+
+Pipeline parity with the reference `predict` (reference: train.py:1114-1250):
+letterbox -> forward -> per-scale decode (with the CORRECT img_size, as the
+reference does here, train.py:1154) -> sigmoid obj/cls -> objectness
+confidence filter -> pixel coords -> un-letterbox -> conf = obj * cls ->
+class-aware global NMS (IoU 0.4 default) -> (x1, y1, x2, y2, conf, cls)
+tuples in original image coordinates.
+
+TPU-first re-design: everything after the PIL letterbox happens inside ONE
+jitted program with static shapes — decode + sigmoid fuse into the head
+epilogue, the dynamic boolean filter becomes a score mask + top-k, and NMS
+is the fixed-shape greedy kernel (`ops.nms`). Only the final (K, 6) block
+crosses back to the host.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from yolo_from_scratch_tpu.config import YoloConfig
+from yolo_from_scratch_tpu.data.letterbox import letterbox_image
+from yolo_from_scratch_tpu.models.yolo import YOLO
+from yolo_from_scratch_tpu.ops.decode import decode_predictions
+from yolo_from_scratch_tpu.ops.nms import NEG_INF, batched_nms_fixed
+
+
+def default_topk(img_size: int) -> int:
+    """Static NMS candidate capacity per resolution. Total raw predictions
+    are 3 * sum((S/8)^2 + (S/16)^2 + (S/32)^2) = 25,200 @640 / 100,800
+    @1280; after the confidence prefilter a few thousand survive."""
+    total = 3 * sum((img_size // s) ** 2 for s in (8, 16, 32))
+    return min(total, 4096)
+
+
+def make_postprocess(model: YOLO, cfg: YoloConfig, conf_threshold=0.5,
+                     iou_threshold=0.4, topk=None, max_outputs=None):
+    """Build the jitted forward+postprocess:
+    (variables, img (1,S,S,3), scale, pad_top, pad_left)
+      -> (boxes (K,4) px orig-image, scores (K,), classes (K,), valid (K,)).
+    """
+    anchors = cfg.anchors_array
+    img_size = cfg.img_size
+    nc = cfg.num_classes
+    k = topk or default_topk(img_size)
+    max_out = max_outputs or k
+
+    @jax.jit
+    def postprocess(variables, img, scale, pad_top, pad_left):
+        preds = model.apply(variables, img, train=False)
+
+        boxes_all, obj_all, cls_all = [], [], []
+        for pred, anc in zip(preds, anchors):
+            decoded = decode_predictions(pred, anc, img_size)
+            flat = decoded.reshape(-1, 5 + nc)
+            boxes_all.append(flat[:, 0:4])
+            obj_all.append(jax.nn.sigmoid(flat[:, 4]))
+            cls_all.append(jax.nn.sigmoid(flat[:, 5:]))
+
+        boxes = jnp.concatenate(boxes_all)  # (M, 4) normalized cx cy w h
+        obj = jnp.concatenate(obj_all)  # (M,)
+        cls = jnp.concatenate(cls_all)  # (M, nc)
+
+        if nc == 1:
+            cls_prob = cls[:, 0]
+            cls_id = jnp.zeros(cls.shape[0], jnp.int32)
+        else:
+            cls_prob = jnp.max(cls, axis=1)
+            cls_id = jnp.argmax(cls, axis=1).astype(jnp.int32)
+
+        # objectness confidence filter (reference: train.py:1167), then
+        # combined confidence obj*cls (train.py:1216)
+        conf = obj * cls_prob
+        score = jnp.where(obj > conf_threshold, conf, NEG_INF)
+
+        # normalized -> letterboxed pixels -> corners -> original image
+        # coords (reference: train.py:1192-1213)
+        cx, cy = boxes[:, 0] * img_size, boxes[:, 1] * img_size
+        w, h = boxes[:, 2] * img_size, boxes[:, 3] * img_size
+        x1 = (cx - w / 2 - pad_left) / scale
+        y1 = (cy - h / 2 - pad_top) / scale
+        x2 = (cx + w / 2 - pad_left) / scale
+        y2 = (cy + h / 2 - pad_top) / scale
+        corners = jnp.stack([x1, y1, x2, y2], axis=1)
+
+        # static top-k prefilter feeding the fixed-shape NMS kernel
+        top_scores, idx = jax.lax.top_k(score, k)
+        return batched_nms_fixed(
+            corners[idx], top_scores, cls_id[idx], iou_threshold, max_out
+        )
+
+    return postprocess
+
+
+class Predictor:
+    """Reusable single-image predictor (compiles once per config)."""
+
+    def __init__(self, variables, cfg: YoloConfig, conf_threshold=0.5,
+                 iou_threshold=0.4, topk=None, max_outputs=None):
+        self.cfg = cfg
+        self.variables = variables
+        self.model = YOLO(cfg)
+        self._post = make_postprocess(
+            self.model, cfg, conf_threshold, iou_threshold, topk, max_outputs
+        )
+
+    def __call__(self, image):
+        """image: path or PIL.Image. Returns [(x1, y1, x2, y2, conf, cls), ...]
+        floats in original image coordinates."""
+        from PIL import Image
+
+        pil = Image.open(image).convert("RGB") if not hasattr(image, "size") else (
+            image.convert("RGB")
+        )
+        img_u8, scale, pad_top, pad_left = letterbox_image(pil, self.cfg.img_size)
+        img = jnp.asarray(img_u8, jnp.float32)[None] / 255.0
+
+        boxes, scores, classes, valid = jax.device_get(
+            self._post(self.variables, img, float(scale), float(pad_top),
+                       float(pad_left))
+        )
+        out = []
+        for b, s, c, v in zip(boxes, scores, classes, valid):
+            if v:
+                out.append(
+                    (float(b[0]), float(b[1]), float(b[2]), float(b[3]),
+                     float(s), int(c))
+                )
+        return out
+
+
+def predict(variables, cfg, image_path, conf_threshold=0.5, iou_threshold=0.4):
+    """One-shot convenience mirroring the reference signature."""
+    return Predictor(variables, cfg, conf_threshold, iou_threshold)(image_path)

@@ -1,0 +1,187 @@
+"""YOLOv5-style FPN detector as a single jitted XLA graph.
+
+Graph parity with the reference model (reference: train.py:308-632):
+stem (2 stride-2 convs) -> backbone P3/P4/P5 -> SPPF -> FPN top-down with
+laterals -> PANet bottom-up -> three heads (2 ConvBlocks + 1x1 conv with
+bias). Head outputs are reshaped to (B, H, W, A, 5+nc).
+
+TPU-first differences from the reference:
+- NHWC activations end to end (TPU conv layout), channels are multiples
+  of 8 by construction (reference make_divisible), padding to MXU tiles is
+  left to XLA;
+- no registered grid/anchor buffers — anchors are config constants baked
+  into the traced decode (reference keeps them as state_dict buffers,
+  train.py:367, 386-388);
+- the whole forward is one pure function of (variables, images), so jit /
+  grad / pjit compose directly.
+
+Head bias init: objectness prior p=0.01 -> bias = -log((1-p)/p) ~= -4.595
+(reference: train.py:519-566); class biases 0.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from yolo_from_scratch_tpu.config import YoloConfig
+from yolo_from_scratch_tpu.models.blocks import (
+    C3,
+    SPPF,
+    ConvBNSiLU,
+    torch_kernel_init,
+    upsample_nearest_2x,
+)
+
+
+def _head_bias_init(num_anchors: int, num_classes: int, prior: float = 0.01):
+    """Final-conv bias: objectness channel -log((1-p)/p), everything else 0."""
+    obj_bias = -math.log((1.0 - prior) / prior)
+
+    def init(key, shape, dtype=jnp.float32):
+        bias = np.zeros(shape, np.float32).reshape(num_anchors, 5 + num_classes)
+        bias[:, 4] = obj_bias
+        return jnp.asarray(bias.reshape(shape), dtype)
+
+    return init
+
+
+class DetectHead(nn.Module):
+    """2x ConvBNSiLU(3x3) + 1x1 conv(bias) -> (B, H, W, A, 5+nc)
+    (reference: train.py:452-466, 602-629)."""
+
+    channels: int
+    num_anchors: int
+    num_classes: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = ConvBNSiLU(self.channels, 3, dtype=self.dtype, name="conv1")(x, train)
+        x = ConvBNSiLU(self.channels, 3, dtype=self.dtype, name="conv2")(x, train)
+        out_ch = self.num_anchors * (5 + self.num_classes)
+        x = nn.Conv(
+            out_ch,
+            (1, 1),
+            use_bias=True,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            kernel_init=torch_kernel_init,
+            bias_init=_head_bias_init(self.num_anchors, self.num_classes),
+            name="pred",
+        )(x)
+        b, h, w, _ = x.shape
+        return x.reshape(b, h, w, self.num_anchors, 5 + self.num_classes)
+
+
+class YOLO(nn.Module):
+    """Full detector. `__call__(images NHWC in [0,1]) -> [p3, p4, p5]`."""
+
+    cfg: YoloConfig
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        cfg = self.cfg
+        dt = jnp.dtype(cfg.compute_dtype)
+        x = x.astype(dt)
+
+        # ===== Backbone =====
+        # Stem: two stride-2 convs (reference: train.py:401-404; raw convs
+        # with bias before BN, kept for parity).
+        x = ConvBNSiLU(cfg.c_stem // 2, 3, 2, use_bias=True, dtype=dt, name="stem0")(
+            x, train
+        )
+        x = ConvBNSiLU(cfg.c_stem, 3, 2, use_bias=True, dtype=dt, name="stem1")(
+            x, train
+        )
+
+        # P3: stride 4 -> 8 (reference: train.py:406-410)
+        x = C3(cfg.c_stem, cfg.repeats(1), dtype=dt, name="bb_p3_c3a")(x, train)
+        x = ConvBNSiLU(cfg.c_p3, 3, 2, use_bias=True, dtype=dt, name="bb_p3_down")(
+            x, train
+        )
+        p3_backbone = C3(cfg.c_p3, cfg.repeats(2), dtype=dt, name="bb_p3_c3b")(x, train)
+
+        # P4: stride 8 -> 16 (reference: train.py:412-415)
+        x = ConvBNSiLU(cfg.c_p4, 3, 2, use_bias=True, dtype=dt, name="bb_p4_down")(
+            p3_backbone, train
+        )
+        p4_backbone = C3(cfg.c_p4, cfg.repeats(2), dtype=dt, name="bb_p4_c3")(x, train)
+
+        # P5: stride 16 -> 32 + SPPF (reference: train.py:417-422)
+        x = ConvBNSiLU(cfg.c_p5, 3, 2, use_bias=True, dtype=dt, name="bb_p5_down")(
+            p4_backbone, train
+        )
+        p5_backbone = C3(cfg.c_p5, cfg.repeats(1), dtype=dt, name="bb_p5_c3")(x, train)
+        p5_backbone = SPPF(cfg.c_p5, dtype=dt, name="sppf")(p5_backbone, train)
+
+        # ===== FPN top-down (reference: train.py:426-438, 578-589) =====
+        p4_lateral = ConvBNSiLU(cfg.c_p4, 1, dtype=dt, name="lateral_p4")(
+            p4_backbone, train
+        )
+        p3_lateral = ConvBNSiLU(cfg.c_p3, 1, dtype=dt, name="lateral_p3")(
+            p3_backbone, train
+        )
+
+        p5_red = ConvBNSiLU(cfg.c_p4, 1, dtype=dt, name="reduce_p5_for_p4")(
+            p5_backbone, train
+        )
+        p4_fpn = C3(cfg.c_p4, cfg.repeats(1), dtype=dt, name="merge_p4")(
+            jnp.concatenate([upsample_nearest_2x(p5_red), p4_lateral], axis=-1), train
+        )
+
+        p4_red = ConvBNSiLU(cfg.c_p3, 1, dtype=dt, name="reduce_p4_for_p3")(
+            p4_fpn, train
+        )
+        p3_fpn = C3(cfg.c_p3, cfg.repeats(1), dtype=dt, name="merge_p3")(
+            jnp.concatenate([upsample_nearest_2x(p4_red), p3_lateral], axis=-1), train
+        )
+
+        # ===== PANet bottom-up (reference: train.py:442-447, 591-598) =====
+        p3_down = ConvBNSiLU(cfg.c_p3, 3, 2, dtype=dt, name="downsample_p3_to_p4")(
+            p3_fpn, train
+        )
+        p4_panet = C3(cfg.c_p4, cfg.repeats(1), dtype=dt, name="panet_merge_p4")(
+            jnp.concatenate([p3_down, p4_fpn], axis=-1), train
+        )
+
+        p4_down = ConvBNSiLU(cfg.c_p4, 3, 2, dtype=dt, name="downsample_p4_to_p5")(
+            p4_panet, train
+        )
+        # Note: the P5 PANet merge concatenates with the post-SPPF backbone
+        # P5, not an FPN P5 (reference: train.py:598).
+        p5_panet = C3(cfg.c_p5, cfg.repeats(1), dtype=dt, name="panet_merge_p5")(
+            jnp.concatenate([p4_down, p5_backbone], axis=-1), train
+        )
+
+        # ===== Heads (reference: train.py:452-466, 600-632) =====
+        na, nc = cfg.num_anchors, cfg.num_classes
+        out_p3 = DetectHead(cfg.c_p3, na, nc, dtype=dt, name="head_p3")(p3_fpn, train)
+        out_p4 = DetectHead(cfg.c_p4, na, nc, dtype=dt, name="head_p4")(p4_panet, train)
+        out_p5 = DetectHead(cfg.c_p5, na, nc, dtype=dt, name="head_p5")(p5_panet, train)
+
+        gs3, gs4, gs5 = cfg.grid_sizes
+        assert out_p3.shape[1:3] == (gs3, gs3), (out_p3.shape, gs3)
+        assert out_p4.shape[1:3] == (gs4, gs4), (out_p4.shape, gs4)
+        assert out_p5.shape[1:3] == (gs5, gs5), (out_p5.shape, gs5)
+
+        # Heads return fp32 so loss/decode run in full precision even when
+        # the conv path computes in bf16.
+        return [out_p3.astype(jnp.float32), out_p4.astype(jnp.float32),
+                out_p5.astype(jnp.float32)]
+
+
+def init_model(rng, cfg: YoloConfig, batch_size: int = 1):
+    """Initialize model variables. Returns flax variables dict with
+    'params' and 'batch_stats' collections."""
+    model = YOLO(cfg)
+    dummy = jnp.zeros((batch_size, cfg.img_size, cfg.img_size, 3), jnp.float32)
+    return model, model.init(rng, dummy, train=False)
+
+
+def count_params(variables) -> int:
+    return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(variables["params"]))

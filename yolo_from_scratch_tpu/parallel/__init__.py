@@ -1,0 +1,15 @@
+from yolo_from_scratch_tpu.parallel.mesh import (
+    make_mesh,
+    batch_sharding,
+    replicated_sharding,
+    shard_batch,
+    pad_batch_to_multiple,
+)
+
+__all__ = [
+    "make_mesh",
+    "batch_sharding",
+    "replicated_sharding",
+    "shard_batch",
+    "pad_batch_to_multiple",
+]

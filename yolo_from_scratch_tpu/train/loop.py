@@ -1,0 +1,136 @@
+"""Epoch-level orchestration: train loop, eval loop, checkpointing.
+
+Mirrors the reference driver (reference: train.py:888-926 train_epoch,
+train.py:960-1032 eval_epoch, train.py:1492-1545 training loop): per-epoch
+LR stepping, eval + checkpoint every epoch, identical stdout contract.
+
+TPU specifics: batches stream through the prefetching loader, are placed
+on the device (sharded over the mesh's `data` axis when a mesh is given),
+and per-batch metrics stay on device until the end of the epoch — the
+reference's per-batch `.item()` syncs (train.py:920-923) would serialize
+host and TPU.
+"""
+
+from __future__ import annotations
+
+import time
+from datetime import datetime
+
+import jax
+import numpy as np
+
+from yolo_from_scratch_tpu.parallel.mesh import (
+    batch_sharding,
+    pad_batch_to_multiple,
+)
+from yolo_from_scratch_tpu.train.metrics import prf1
+from yolo_from_scratch_tpu.train.schedule import lr_at_epoch
+from yolo_from_scratch_tpu.train.steps import set_learning_rate
+from yolo_from_scratch_tpu.utils.checkpoint import save_checkpoint
+
+
+def _place(mesh, images, targets):
+    """Device placement; shards batch over the mesh if one is given.
+    Returns (images, targets, valid_count)."""
+    valid = images.shape[0]
+    if mesh is not None and mesh.size > 1:
+        images, _ = pad_batch_to_multiple(np.asarray(images), mesh.size)
+        targets = [pad_batch_to_multiple(np.asarray(t), mesh.size)[0] for t in targets]
+        sh = batch_sharding(mesh)
+        images = jax.device_put(images, sh)
+        targets = [jax.device_put(t, sh) for t in targets]
+    return images, targets, valid
+
+
+def train_epoch(train_step, state, loader, mesh=None):
+    """One epoch. Returns (state, mean_total, mean_bbox, mean_obj, mean_cls,
+    images_seen, seconds)."""
+    metrics_acc = []
+    n_images = 0
+    t0 = time.perf_counter()
+    for images, targets in loader:
+        n_images += images.shape[0]
+        images, targets, _ = _place(mesh, images, targets)
+        state, metrics = train_step(state, images, targets)
+        metrics_acc.append(metrics)
+    # single host sync at epoch end
+    metrics_acc = jax.device_get(metrics_acc)
+    dt = time.perf_counter() - t0
+    n = max(len(metrics_acc), 1)
+    mean = lambda k: float(sum(m[k] for m in metrics_acc)) / n
+    return state, mean("loss"), mean("bbox"), mean("obj"), mean("cls"), n_images, dt
+
+
+def eval_epoch(eval_step, params, batch_stats, loader, mesh=None):
+    """Loss + grid-aligned P/R/F1 over a loader
+    (reference: train.py:960-1032). Returns (loss, P%, R%, F1%)."""
+    losses, tps, fps, fns = [], 0, 0, 0
+    per_batch = []
+    for images, targets in loader:
+        valid = images.shape[0]
+        images, targets, _ = _place(mesh, images, targets)
+        loss, tp, fp, fn = eval_step(params, batch_stats, images, targets)
+        per_batch.append((loss, tp, fp, fn, valid))
+    for loss, tp, fp, fn, valid in per_batch:
+        loss, tp, fp, fn = jax.device_get((loss, tp, fp, fn))
+        losses.append(float(loss))
+        tp, fp, fn = np.asarray(tp), np.asarray(fp), np.asarray(fn)
+        # per-image count vectors: sum only the valid (non-padded) rows
+        tps += int(tp[:valid].sum())
+        fps += int(fp[:valid].sum())
+        fns += int(fn[:valid].sum())
+    avg_loss = float(np.mean(losses)) if losses else 0.0
+    p, r, f1 = prf1(tps, fps, fns)
+    return avg_loss, p, r, f1
+
+
+def fit(
+    model,
+    tx,
+    state,
+    train_step,
+    eval_step,
+    train_loader,
+    val_loader,
+    cfg,
+    epochs=100,
+    initial_lr=1e-2,
+    min_lr=1e-4,
+    warmup_epochs=3,
+    mesh=None,
+    save_path=None,
+    log=print,
+):
+    """Full training driver (reference: train.py:1520-1545): per-epoch
+    train + eval + checkpoint + LR step. Returns (state, save_path)."""
+    if save_path is None:
+        timestamp = datetime.now().strftime("%Y%m%d_%H%M%S")
+        save_path = f"yolo_{timestamp}.ckpt"
+
+    for epoch in range(epochs):
+        lr = lr_at_epoch(epoch, warmup_epochs, epochs, initial_lr, min_lr)
+        state = set_learning_rate(state, lr)
+
+        state, loss, bbox, obj, cls, n_imgs, dt = train_epoch(
+            train_step, state, train_loader, mesh
+        )
+        val_loss, val_p, val_r, val_f1 = eval_epoch(
+            eval_step, state.params, state.batch_stats, val_loader, mesh
+        )
+
+        log(
+            f"Epoch {epoch + 1}: "
+            f"Loss: {loss:.4f} (bbox: {bbox:.4f}, obj: {obj:.4f}, cls: {cls:.4f}) | "
+            f"Val: Loss {val_loss:.4f}, P {val_p:.1f}%, R {val_r:.1f}%, "
+            f"F1 {val_f1:.1f}% | LR: {lr:.6f} | {n_imgs / max(dt, 1e-9):.1f} img/s"
+        )
+
+        save_checkpoint(
+            save_path,
+            {"params": jax.device_get(state.params),
+             "batch_stats": jax.device_get(state.batch_stats)},
+            cfg,
+            epoch=epoch,
+        )
+
+    return state, save_path

@@ -1,0 +1,77 @@
+"""Grid-aligned detection metrics, fully vectorized.
+
+Replicates the reference's eval counting rules (reference:
+train.py:1002-1024) — a quadruple Python loop over (batch, i, j, anchor)
+there, a single dense tensor comparison here:
+
+    pred_obj = sigmoid(raw obj); both thresholds default 0.5
+    pred>thr & tgt>thr & IoU>thr  -> TP
+    pred>thr & tgt>thr & IoU<=thr -> FP   (no FN for the missed GT!)
+    pred>thr & tgt<=thr           -> FP
+    pred<=thr & tgt>thr           -> FN
+
+Precision/recall/F1 are computed from the summed counts
+(reference: train.py:1026-1032). These are grid-aligned metrics, not
+NMS-based mAP — by design, for parity.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import jax
+
+from yolo_from_scratch_tpu.ops.boxes import box_iou_center
+from yolo_from_scratch_tpu.ops.decode import decode_predictions
+
+
+def grid_metric_counts(
+    pred, target, anchors, img_size, conf_threshold=0.5, iou_threshold=0.5,
+    quirk_640=False, per_image=False,
+):
+    """TP/FP/FN counts for one scale.
+
+    Args:
+        pred: (B, H, W, A, 5+nc) RAW head output.
+        target: (B, H, W, A, 5+nc) dense targets.
+        anchors: (A, 2) pixel anchors for this scale.
+        img_size: resolution for box decode. The reference decodes its eval
+            path with the 640 default regardless of resolution
+            (train.py:993; SURVEY.md §3.6) — set quirk_640 to replicate.
+        per_image: if True return (B,) vectors instead of scalars (lets the
+            caller discard padded batch rows exactly).
+
+    Returns:
+        (tp, fp, fn) int32 counts — scalars, or (B,) if per_image.
+    """
+    decode_size = 640 if quirk_640 else img_size
+    decoded = decode_predictions(pred, anchors, decode_size)
+
+    pred_obj = jax.nn.sigmoid(pred[..., 4])
+    target_obj = target[..., 4]
+    pm = pred_obj > conf_threshold
+    tm = target_obj > conf_threshold
+
+    iou = box_iou_center(decoded[..., 0:4], target[..., 0:4], eps=1e-6)
+    hit = iou > iou_threshold
+
+    tp = pm & tm & hit
+    fp = (pm & tm & ~hit) | (pm & ~tm)
+    fn = ~pm & tm
+
+    axes = (1, 2, 3) if per_image else None
+    to_i32 = lambda m: jnp.sum(m.astype(jnp.int32), axis=axes)
+    return to_i32(tp), to_i32(fp), to_i32(fn)
+
+
+def prf1(tp, fp, fn):
+    """Precision/recall/F1 in percent from counts (reference:
+    train.py:1026-1032)."""
+    tp, fp, fn = float(tp), float(fp), float(fn)
+    precision = tp / (tp + fp) if (tp + fp) > 0 else 0.0
+    recall = tp / (tp + fn) if (tp + fn) > 0 else 0.0
+    f1 = (
+        2 * precision * recall / (precision + recall)
+        if (precision + recall) > 0
+        else 0.0
+    )
+    return precision * 100.0, recall * 100.0, f1 * 100.0
