@@ -1,0 +1,108 @@
+"""End-to-end CLI tests via subprocess (port of reference tests/test_cli.py:
+the polymorphic dispatch contract exercised through `python train.py …`)."""
+
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+REPO_ROOT = Path(__file__).resolve().parent.parent
+
+
+def run_cli(args, cwd=None, timeout=420):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PALLAS_AXON_POOL_IPS"] = ""  # disable the axon TPU plugin
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_test_cache")
+    return subprocess.run(
+        [sys.executable, str(REPO_ROOT / "train.py")] + args,
+        capture_output=True, text=True, timeout=timeout, cwd=cwd or REPO_ROOT,
+        env=env,
+    )
+
+
+def test_usage_text_no_args():
+    result = run_cli([])
+    assert result.returncode == 0
+    assert "Usage:" in result.stdout
+    assert "Training:" in result.stdout
+    assert "Compute Anchors:" in result.stdout
+
+
+def test_compute_anchors_requires_yaml():
+    result = run_cli(["--compute-anchors"])
+    assert result.returncode == 1
+    assert "ERROR: --compute-anchors requires a dataset YAML file" in result.stdout
+
+
+def test_compute_anchors_happy_path(temp_dataset_dir):
+    result = run_cli(
+        [str(temp_dataset_dir / "dataset.yaml"), "--compute-anchors",
+         "--img-size", "128"]
+    )
+    assert result.returncode == 0
+    assert "Recommended anchor configuration" in result.stdout
+    assert "P3 (small objects):" in result.stdout
+
+
+@pytest.fixture(scope="module")
+def trained_ckpt(temp_dataset_dir, tmp_path_factory):
+    """One real 1-epoch CLI training run; reused by eval/infer/inspect."""
+    workdir = tmp_path_factory.mktemp("cli_train")
+    result = run_cli(
+        [str(temp_dataset_dir / "dataset.yaml"), "--epochs", "1", "--size",
+         "n", "--img-size", "128", "--batch-size", "5", "--lr", "1e-3"],
+        cwd=workdir,
+    )
+    assert result.returncode == 0, result.stderr[-2000:]
+    assert "Training YOLO model" in result.stdout
+    assert "Creating YOLOv5N" in result.stdout
+    assert "Model saved to" in result.stdout
+    ckpts = list(workdir.glob("yolo_*.ckpt"))
+    assert len(ckpts) == 1
+    return ckpts[0], result.stdout
+
+
+def test_train_mode_output(trained_ckpt):
+    _, stdout = trained_ckpt
+    assert "Epoch 1:" in stdout
+    assert "Val: Loss" in stdout
+    assert "LR:" in stdout
+
+
+def test_eval_mode(temp_dataset_dir, trained_ckpt):
+    ckpt, _ = trained_ckpt
+    result = run_cli([str(temp_dataset_dir / "dataset.yaml"), str(ckpt)])
+    assert result.returncode == 0, result.stderr[-2000:]
+    assert "Evaluating model from" in result.stdout
+    assert "Training Set:" in result.stdout
+    assert "Validation Set:" in result.stdout
+    assert "F1 Score:" in result.stdout
+
+
+def test_infer_mode(temp_dataset_dir, trained_ckpt):
+    ckpt, _ = trained_ckpt
+    img = next((temp_dataset_dir / "val" / "images").glob("*.jpg"))
+    result = run_cli([str(img), str(ckpt)])
+    assert result.returncode == 0, result.stderr[-2000:]
+    assert "Running inference on" in result.stdout
+    assert ("No objects detected." in result.stdout
+            or "Detected" in result.stdout)
+
+
+def test_inspect_mode(trained_ckpt):
+    ckpt, _ = trained_ckpt
+    result = run_cli([str(ckpt)])
+    assert result.returncode == 0, result.stderr[-2000:]
+    assert "Model loaded from" in result.stdout
+    assert "Number of classes: 1" in result.stdout
+    assert "Image size: 128" in result.stdout
+    assert "Total parameters:" in result.stdout
+
+
+def test_custom_lr_flags_echoed(temp_dataset_dir, trained_ckpt):
+    # reuses the cached-compile path: 1 epoch with custom flags
+    _, stdout = trained_ckpt
+    assert "Initial LR: 0.001" in stdout

@@ -1,0 +1,150 @@
+"""Training integration tests (port of reference tests/test_training.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from yolo_from_scratch_tpu.data.dataset import YoloDataset
+from yolo_from_scratch_tpu.data.loader import DataLoader
+from yolo_from_scratch_tpu.train.loop import train_epoch
+from yolo_from_scratch_tpu.train.schedule import get_lr_lambda, lr_at_epoch
+from yolo_from_scratch_tpu.train.steps import (
+    create_train_state,
+    make_eval_step,
+    make_train_step,
+    set_learning_rate,
+)
+
+
+@pytest.fixture(scope="module")
+def training_setup(cfg, temp_dataset_dir):
+    ds = YoloDataset(str(temp_dataset_dir / "train" / "images"), 1,
+                     img_size=cfg.img_size)
+    loader = DataLoader(ds, batch_size=5, prefetch=0)  # single full batch
+    model, tx, state = create_train_state(jax.random.PRNGKey(0), cfg, 1e-3)
+    train_step = make_train_step(model, tx, cfg, donate=False)
+    return loader, model, tx, state, train_step
+
+
+def test_train_epoch_losses_finite_nonneg(training_setup):
+    loader, model, tx, state, train_step = training_setup
+    state = set_learning_rate(state, 1e-3)
+    state, loss, bbox, obj, cls, n, dt = train_epoch(train_step, state, loader)
+    for v in (loss, bbox, obj, cls):
+        assert np.isfinite(v)
+        assert v >= 0
+    assert n == 5
+
+
+def test_train_step_changes_params(training_setup):
+    loader, model, tx, state, train_step = training_setup
+    state = set_learning_rate(state, 1e-2)
+    images, targets = next(iter(loader))
+    before = jax.tree.map(np.asarray, state.params)
+    new_state, metrics = train_step(
+        state, jnp.asarray(images), [jnp.asarray(t) for t in targets]
+    )
+    after = jax.tree.map(np.asarray, new_state.params)
+    leaves_b, leaves_a = jax.tree.leaves(before), jax.tree.leaves(after)
+    changed = sum(
+        not np.allclose(b, a, atol=1e-9) for b, a in zip(leaves_b, leaves_a)
+    )
+    assert changed > len(leaves_b) * 0.5
+    assert int(new_state.step) == int(state.step) + 1
+
+
+def test_loss_decreases_over_steps(training_setup):
+    loader, model, tx, state, train_step = training_setup
+    state = set_learning_rate(state, 5e-3)
+    images, targets = next(iter(loader))
+    images = jnp.asarray(images)
+    targets = [jnp.asarray(t) for t in targets]
+    first = last = None
+    for i in range(8):
+        state, metrics = train_step(state, images, targets)
+        val = float(metrics["loss"])
+        if first is None:
+            first = val
+        last = val
+    assert last < first
+
+
+def test_multiclass_training_step(cfg_multiclass, temp_dataset_multiclass):
+    ds = YoloDataset(str(temp_dataset_multiclass / "train" / "images"), 3,
+                     img_size=cfg_multiclass.img_size)
+    loader = DataLoader(ds, batch_size=4, prefetch=0)
+    model, tx, state = create_train_state(
+        jax.random.PRNGKey(0), cfg_multiclass, 1e-3
+    )
+    train_step = make_train_step(model, tx, cfg_multiclass, donate=False)
+    state = set_learning_rate(state, 1e-3)
+    images, targets = next(iter(loader))
+    state, metrics = train_step(
+        state, jnp.asarray(images), [jnp.asarray(t) for t in targets]
+    )
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_gradient_clipping_keeps_updates_finite(cfg):
+    # huge LR + pathological targets: clipped Adam must keep params finite
+    model, tx, state = create_train_state(jax.random.PRNGKey(1), cfg, 1.0)
+    train_step = make_train_step(model, tx, cfg, donate=False)
+    state = set_learning_rate(state, 1.0)
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.random((2, cfg.img_size, cfg.img_size, 3)),
+                         jnp.float32)
+    targets = [
+        jnp.zeros((2, g, g, 3, 6), jnp.float32)
+        for g in cfg.grid_sizes
+    ]
+    for _ in range(3):
+        state, metrics = train_step(state, images, targets)
+    assert all(
+        np.all(np.isfinite(np.asarray(p))) for p in jax.tree.leaves(state.params)
+    )
+
+
+# ---------------- LR schedule (reference tests/test_training.py:117-254) ----
+
+
+def test_lr_warmup_linear():
+    fn = get_lr_lambda(warmup_epochs=3, total_epochs=100, initial_lr=1e-2,
+                       min_lr=1e-4)
+    m0, m1, m2 = fn(0), fn(1), fn(2)
+    assert m0 == pytest.approx(1e-6 / 1e-2)
+    # linear: equal increments
+    assert (m2 - m1) == pytest.approx(m1 - m0, rel=1e-6)
+
+
+def test_lr_cosine_endpoints():
+    fn = get_lr_lambda(warmup_epochs=3, total_epochs=100, initial_lr=1e-2,
+                       min_lr=1e-4)
+    assert fn(3) == pytest.approx(1.0)  # peak right after warmup
+    assert fn(100) == pytest.approx(1e-4 / 1e-2)  # decayed to min at the end
+
+
+def test_lr_monotone_decay_after_warmup():
+    fn = get_lr_lambda(warmup_epochs=3, total_epochs=100, initial_lr=1e-2,
+                       min_lr=1e-4)
+    vals = [fn(e) for e in range(3, 101)]
+    assert all(a >= b - 1e-12 for a, b in zip(vals, vals[1:]))
+
+
+def test_lr_custom_params():
+    fn = get_lr_lambda(warmup_epochs=5, total_epochs=50, initial_lr=2e-2,
+                       min_lr=1e-3)
+    assert fn(5) == pytest.approx(1.0)
+    assert fn(50) == pytest.approx(1e-3 / 2e-2)
+
+
+def test_lr_at_epoch_absolute():
+    assert lr_at_epoch(3, 3, 100, 1e-2, 1e-4) == pytest.approx(1e-2)
+
+
+def test_set_learning_rate_applied(cfg):
+    model, tx, state = create_train_state(jax.random.PRNGKey(0), cfg, 1e-2)
+    state = set_learning_rate(state, 3.14e-3)
+    assert float(state.opt_state.hyperparams["learning_rate"]) == pytest.approx(
+        3.14e-3
+    )

@@ -73,9 +73,7 @@ class YoloConfig:
     def __post_init__(self):
         if self.img_size % 32 != 0:
             raise ValueError(f"img_size must be divisible by 32, got {self.img_size}")
-        arr = normalize_anchors(
-            [list(map(list, a)) for a in self.anchors] if self.anchors else None
-        )
+        arr = normalize_anchors(self.anchors if self.anchors else None)
         object.__setattr__(
             self, "anchors", tuple(tuple(tuple(float(v) for v in wh) for wh in s) for s in arr)
         )
