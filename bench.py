@@ -1,0 +1,158 @@
+#!/usr/bin/env python
+"""Benchmark: training images/sec/chip at 640x640 (the reference's headline
+workload — batch 8, 's' model, Adam + clip; reference: train.py:1471-1543).
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+vs_baseline compares against the reference PyTorch-CPU implementation
+measured in this container (2.437 img/s — see BASELINE.md). Secondary
+numbers (inference latency, bf16/fp32) go to stderr.
+
+Runs on whatever backend JAX resolves (the axon TPU chip in the harness;
+CPU elsewhere).
+"""
+
+import json
+import os
+import statistics
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_bench_cache")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from yolo_from_scratch_tpu.config import YoloConfig
+from yolo_from_scratch_tpu.infer.predict import make_postprocess
+from yolo_from_scratch_tpu.models.yolo import YOLO
+from yolo_from_scratch_tpu.train.steps import (
+    create_train_state,
+    make_train_step,
+    set_learning_rate,
+)
+
+REFERENCE_CPU_TRAIN_IMG_S = 2.437  # BASELINE.md, measured in this container
+BATCH = 8
+IMG = 640
+TRAIN_STEPS = 20
+WARMUP = 3
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def make_batch(cfg, batch):
+    rng = np.random.default_rng(0)
+    images = rng.random((batch, cfg.img_size, cfg.img_size, 3)).astype(np.float32)
+    targets = []
+    for g in cfg.grid_sizes:
+        t = np.zeros((batch, g, g, 3, 5 + cfg.num_classes), np.float32)
+        # a few objects per image
+        for b in range(batch):
+            for k in range(3):
+                gy, gx, a = rng.integers(0, g), rng.integers(0, g), rng.integers(0, 3)
+                t[b, gy, gx, a, 0:4] = [
+                    (gx + 0.5) / g, (gy + 0.5) / g, 0.1, 0.1,
+                ]
+                t[b, gy, gx, a, 4] = 1.0
+                t[b, gy, gx, a, 5] = 1.0
+        targets.append(t)
+    return images, targets
+
+
+def _init_on_host(fn, *args, **kw):
+    """Run param init on the CPU backend — initializing on the TPU issues
+    hundreds of tiny remote compiles (measured 108s on the axon tunnel)."""
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        return fn(*args, **kw)
+    with jax.default_device(cpu):
+        return fn(*args, **kw)
+
+
+def bench_train(cfg, batch=BATCH):
+    model, tx, state = _init_on_host(
+        create_train_state, jax.random.PRNGKey(0), cfg, 1e-3, batch_size=1
+    )
+    state = jax.device_put(state, jax.devices()[0])
+    train_step = make_train_step(model, tx, cfg)
+    state = set_learning_rate(state, 1e-3)
+
+    images_np, targets_np = make_batch(cfg, batch)
+    images = jnp.asarray(images_np)
+    targets = [jnp.asarray(t) for t in targets_np]
+
+    for _ in range(WARMUP):
+        state, metrics = train_step(state, images, targets)
+    jax.block_until_ready(metrics["loss"])
+
+    t0 = time.perf_counter()
+    for _ in range(TRAIN_STEPS):
+        state, metrics = train_step(state, images, targets)
+    jax.block_until_ready(metrics["loss"])
+    dt = time.perf_counter() - t0
+
+    loss = float(metrics["loss"])
+    assert np.isfinite(loss), f"non-finite loss in benchmark: {loss}"
+    return batch * TRAIN_STEPS / dt
+
+
+def bench_infer(cfg):
+    """Device-side inference latency: forward + decode + NMS (excludes host
+    letterbox; the reference's 94.4ms includes ~a few ms of PIL)."""
+    model = YOLO(cfg)
+    variables = _init_on_host(
+        model.init, jax.random.PRNGKey(0),
+        jnp.zeros((1, cfg.img_size, cfg.img_size, 3)), train=False,
+    )
+    variables = jax.device_put(variables, jax.devices()[0])
+    post = make_postprocess(model, cfg, conf_threshold=0.5, iou_threshold=0.4)
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.random((1, cfg.img_size, cfg.img_size, 3)),
+                      jnp.float32)
+    out = post(variables, img, 1.0, 0.0, 0.0)
+    jax.block_until_ready(out)
+    times = []
+    for _ in range(10):
+        t0 = time.perf_counter()
+        out = post(variables, img, 1.0, 0.0, 0.0)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    return statistics.median(times)
+
+
+def main():
+    platform = jax.devices()[0].platform
+    log(f"backend: {platform} ({jax.devices()[0]})")
+
+    use_bf16 = platform not in ("cpu",)
+    dtype = "bfloat16" if use_bf16 else "float32"
+    cfg = YoloConfig(num_classes=1, img_size=IMG, compute_dtype=dtype)
+
+    train_ips = bench_train(cfg)
+    log(f"train ({dtype}): {train_ips:.2f} img/s/chip @ {IMG}x{IMG} batch {BATCH}")
+
+    try:
+        infer_p50 = bench_infer(cfg)
+        log(f"infer p50 (device fwd+decode+NMS): {infer_p50 * 1000:.2f} ms "
+            f"({1 / infer_p50:.1f} img/s)")
+    except Exception as e:  # secondary metric must not kill the benchmark
+        log(f"infer bench failed: {e}")
+
+    print(json.dumps({
+        "metric": f"train_images_per_sec_per_chip_{IMG}",
+        "value": round(train_ips, 2),
+        "unit": "img/s",
+        "vs_baseline": round(train_ips / REFERENCE_CPU_TRAIN_IMG_S, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,75 @@
+"""Pallas NMS kernel vs the pure-lax oracle (interpret mode on CPU)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from yolo_from_scratch_tpu.ops.nms import (
+    NEG_INF,
+    batched_nms_fixed,
+    nms_keep_mask,
+)
+from yolo_from_scratch_tpu.ops.nms_pallas import (
+    batched_nms_fixed_pallas,
+    nms_keep_mask_pallas,
+)
+
+
+def _random_boxes(seed, n, spread=60):
+    rng = np.random.default_rng(seed)
+    xy = rng.uniform(0, spread, (n, 2))
+    wh = rng.uniform(5, 40, (n, 2))
+    boxes = np.concatenate([xy, xy + wh], axis=1).astype(np.float32)
+    scores = rng.uniform(0.01, 1.0, n).astype(np.float32)
+    return boxes, scores
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.parametrize("n", [17, 128, 300])
+def test_pallas_matches_lax_oracle(seed, n):
+    boxes, scores = _random_boxes(seed, n)
+    thr = 0.5
+    expected = np.asarray(nms_keep_mask(jnp.asarray(boxes), jnp.asarray(scores),
+                                        thr))
+    got = np.asarray(
+        nms_keep_mask_pallas(jnp.asarray(boxes), jnp.asarray(scores), thr,
+                             interpret=True)
+    )
+    np.testing.assert_array_equal(got, expected)
+
+
+def test_pallas_padding_rows_never_kept():
+    boxes, scores = _random_boxes(0, 32)
+    scores[10:] = NEG_INF
+    keep = np.asarray(
+        nms_keep_mask_pallas(jnp.asarray(boxes), jnp.asarray(scores), 0.5,
+                             interpret=True)
+    )
+    assert not keep[10:].any()
+
+
+def test_pallas_max_keep_cap():
+    # widely separated boxes: nothing suppressed, cap must truncate
+    boxes = np.zeros((16, 4), np.float32)
+    for i in range(16):
+        boxes[i] = [i * 100, 0, i * 100 + 10, 10]
+    scores = np.linspace(1.0, 0.1, 16).astype(np.float32)
+    keep = np.asarray(
+        nms_keep_mask_pallas(jnp.asarray(boxes), jnp.asarray(scores), 0.5,
+                             max_keep=5, interpret=True)
+    )
+    assert keep.sum() == 5
+    assert keep[:5].all()  # the 5 highest-scored
+
+
+def test_batched_pallas_matches_lax(seed=4):
+    boxes, scores = _random_boxes(seed, 200)
+    rng = np.random.default_rng(seed)
+    classes = rng.integers(0, 3, 200).astype(np.int32)
+    a = batched_nms_fixed(jnp.asarray(boxes), jnp.asarray(scores),
+                          jnp.asarray(classes), 0.4, max_outputs=64)
+    b = batched_nms_fixed_pallas(jnp.asarray(boxes), jnp.asarray(scores),
+                                 jnp.asarray(classes), 0.4, max_outputs=64,
+                                 interpret=True)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))

@@ -251,6 +251,39 @@ def test_nms_padding_rows_never_kept():
     assert keep.sum() == 1 and keep[0]
 
 
+def _greedy_nms_oracle(boxes, scores, thr):
+    """Plain-Python greedy NMS (torchvision semantics: suppress IoU > thr)."""
+
+    def iou(a, b):
+        ix1, iy1 = max(a[0], b[0]), max(a[1], b[1])
+        ix2, iy2 = min(a[2], b[2]), min(a[3], b[3])
+        inter = max(0.0, ix2 - ix1) * max(0.0, iy2 - iy1)
+        ua = (a[2] - a[0]) * (a[3] - a[1]) + (b[2] - b[0]) * (b[3] - b[1]) - inter
+        return inter / ua if ua > 0 else 0.0
+
+    order = sorted(range(len(scores)), key=lambda i: -scores[i])
+    keep = []
+    for i in order:
+        if all(iou(boxes[i], boxes[j]) <= thr for j in keep):
+            keep.append(i)
+    return sorted(keep)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_nms_matches_python_greedy_oracle(seed):
+    rng = np.random.default_rng(seed)
+    n = 100
+    xy = rng.uniform(0, 60, (n, 2))
+    wh = rng.uniform(5, 40, (n, 2))
+    boxes = np.concatenate([xy, xy + wh], axis=1).astype(np.float32)
+    scores = rng.uniform(0.01, 1.0, n).astype(np.float32)
+    thr = 0.5
+    keep = np.asarray(nms_keep_mask(jnp.asarray(boxes), jnp.asarray(scores), thr))
+    got = sorted(np.nonzero(keep)[0].tolist())
+    expected = _greedy_nms_oracle(boxes.tolist(), scores.tolist(), thr)
+    assert got == expected
+
+
 def test_nms_post_suppression_pairwise_iou_below_threshold():
     # reference invariant: all surviving pairs have IoU < threshold
     # (tests/test_inference.py:176-179)

@@ -73,6 +73,8 @@ def build_parser():
                         help="Replicate the reference's 640-denominator decode "
                              "in loss/eval at non-640 resolutions")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--metrics-jsonl", type=str, default=None,
+                        help="Write per-epoch structured metrics to this JSONL file")
     return parser
 
 
@@ -250,6 +252,7 @@ def main(argv=None):
                 model, tx, state, train_step, eval_step, train_loader,
                 val_loader, cfg, epochs=args.epochs, initial_lr=args.lr,
                 min_lr=args.min_lr, warmup_epochs=args.warmup_epochs, mesh=mesh,
+                metrics_path=args.metrics_jsonl,
             )
             print(f"\nTraining complete. Model saved to {save_path}")
     else:

@@ -118,9 +118,17 @@ def assign_targets(
 
 
 class YoloDataset:
-    """Filesystem YOLO dataset: images dir + sibling labels dir."""
+    """Filesystem YOLO dataset: images dir + sibling labels dir.
 
-    def __init__(self, img_dir, num_classes=1, anchors=None, img_size=640):
+    `backend`: 'pil' (reference-parity PIL decode), 'native' (the C++
+    libjpeg/libpng loader in yolo_from_scratch_tpu/native — threaded batch
+    decode+letterbox), or 'auto' (native when built, else PIL). The native
+    bilinear filter differs from PIL's by <1 LSB on typical photos when
+    resizing; use 'pil' for bit-parity runs.
+    """
+
+    def __init__(self, img_dir, num_classes=1, anchors=None, img_size=640,
+                 backend="auto"):
         self.imgs = sorted(
             glob.glob(f"{img_dir}/*.jpg") + glob.glob(f"{img_dir}/*.png")
         )
@@ -134,6 +142,11 @@ class YoloDataset:
         self.grid_sizes = [img_size // s for s in STRIDES]
         self.num_anchors_per_scale = NUM_ANCHORS_PER_SCALE
         self.output_dim = 5 + num_classes
+        if backend == "auto":
+            from yolo_from_scratch_tpu import native
+
+            backend = "native" if native.available() else "pil"
+        self.backend = backend
 
     def __len__(self):
         return len(self.imgs)
@@ -156,3 +169,54 @@ class YoloDataset:
             self.num_classes,
         )
         return img, targets
+
+    def _targets_for(self, idx, scale, pad_top, pad_left):
+        """Dense targets for image idx given its letterbox geometry. A
+        failed decode (scale == 0) yields empty targets."""
+        if scale <= 0:
+            return assign_targets(
+                np.zeros((0, 4), np.float32), np.zeros(0, np.int64),
+                self.anchors, self.img_size, self.num_classes,
+            )
+        rows = parse_label_file(self.labels[idx])
+        from PIL import Image  # geometry needs original dims; read header only
+
+        with Image.open(self.imgs[idx]) as im:
+            orig_w, orig_h = im.size
+        boxes = adjust_boxes_for_letterbox(
+            rows[:, 1:5], orig_w, orig_h, scale, pad_top, pad_left,
+            self.img_size,
+        )
+        return assign_targets(
+            boxes, rows[:, 0].astype(np.int64), self.anchors, self.img_size,
+            self.num_classes,
+        )
+
+    def load_batch(self, indices, n_threads=4):
+        """Batch fast path: native threaded decode+letterbox when enabled,
+        else per-item PIL. Returns (images (B,S,S,3) f32, [t_p3,t_p4,t_p5])."""
+        indices = [int(i) for i in indices]
+        if self.backend != "native":
+            imgs, tgts = zip(*(self[i] for i in indices))
+            images = np.stack(imgs).astype(np.float32)
+            targets = [
+                np.stack([t[s] for t in tgts]).astype(np.float32)
+                for s in range(3)
+            ]
+            return images, targets
+
+        from yolo_from_scratch_tpu import native
+
+        paths = [self.imgs[i] for i in indices]
+        images, scales, pad_tops, pad_lefts, _ = native.decode_letterbox_batch(
+            paths, self.img_size, n_threads=n_threads
+        )
+        tgts = [
+            self._targets_for(i, float(scales[k]), int(pad_tops[k]),
+                              int(pad_lefts[k]))
+            for k, i in enumerate(indices)
+        ]
+        targets = [
+            np.stack([t[s] for t in tgts]).astype(np.float32) for s in range(3)
+        ]
+        return images, targets

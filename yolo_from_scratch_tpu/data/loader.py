@@ -45,6 +45,10 @@ class DataLoader:
             yield idx[i : i + self.batch_size]
 
     def _make_batch(self, indices):
+        # dataset-provided batch fast path (native C++ loader) when present
+        load_batch = getattr(self.dataset, "load_batch", None)
+        if load_batch is not None:
+            return load_batch(indices)
         imgs, tgts = [], []
         for i in indices:
             img, t = self.dataset[int(i)]

@@ -38,16 +38,27 @@ def default_topk(img_size: int) -> int:
 
 
 def make_postprocess(model: YOLO, cfg: YoloConfig, conf_threshold=0.5,
-                     iou_threshold=0.4, topk=None, max_outputs=None):
+                     iou_threshold=0.4, topk=None, max_outputs=None,
+                     use_pallas_nms=None):
     """Build the jitted forward+postprocess:
     (variables, img (1,S,S,3), scale, pad_top, pad_left)
       -> (boxes (K,4) px orig-image, scores (K,), classes (K,), valid (K,)).
+
+    `use_pallas_nms`: None = auto (Pallas kernel on TPU, lax elsewhere).
     """
     anchors = cfg.anchors_array
     img_size = cfg.img_size
     nc = cfg.num_classes
     k = topk or default_topk(img_size)
     max_out = max_outputs or k
+    if use_pallas_nms is None:
+        use_pallas_nms = jax.devices()[0].platform not in ("cpu",)
+    if use_pallas_nms:
+        from yolo_from_scratch_tpu.ops.nms_pallas import (
+            batched_nms_fixed_pallas as nms_fn,
+        )
+    else:
+        nms_fn = batched_nms_fixed
 
     @jax.jit
     def postprocess(variables, img, scale, pad_top, pad_left):
@@ -89,7 +100,7 @@ def make_postprocess(model: YOLO, cfg: YoloConfig, conf_threshold=0.5,
 
         # static top-k prefilter feeding the fixed-shape NMS kernel
         top_scores, idx = jax.lax.top_k(score, k)
-        return batched_nms_fixed(
+        return nms_fn(
             corners[idx], top_scores, cls_id[idx], iou_threshold, max_out
         )
 

@@ -124,7 +124,7 @@ def _maxpool_same(x, k: int):
     pad = k // 2
     return jax.lax.reduce_window(
         x,
-        -jnp.inf if x.dtype == jnp.float32 else jnp.finfo(x.dtype).min,
+        -jnp.inf,
         jax.lax.max,
         (1, k, k, 1),
         (1, 1, 1, 1),

@@ -4,13 +4,15 @@ The reference's inference path uses `torchvision.ops.batched_nms`
 (reference: train.py:1232-1233), a dynamic-shape C++/CUDA kernel; its
 pure-Python `nms` (train.py:1086-1112) is a dynamic list loop. Neither maps
 to XLA. This module implements the same greedy, confidence-sorted
-suppression with STATIC shapes:
+suppression with STATIC shapes using a pivot-walk algorithm:
 
 1. scores are sorted once (descending);
-2. a `lax.fori_loop` walks boxes in score order; iteration i computes one
-   IoU row against all boxes (a single VPU-wide vector op) and knocks out
-   every lower-ranked box overlapping a *kept* box i;
-3. survivors are compacted to a fixed `max_outputs` slot count.
+2. a `lax.while_loop` repeatedly takes the highest-ranked box that is
+   neither kept nor suppressed (the pivot), keeps it, and knocks out every
+   lower-ranked box overlapping it with one VPU-wide IoU row;
+3. the loop runs exactly `#kept` iterations (<< K), not K — the standard
+   TPU formulation (cf. TF's padded NMS) — then survivors are compacted to
+   a fixed `max_outputs` slot count.
 
 Class-aware "batched" semantics use the torchvision coordinate-offset
 trick: boxes are shifted per class so cross-class pairs never overlap.
@@ -36,8 +38,9 @@ from yolo_from_scratch_tpu.ops.boxes import box_iou_corner
 NEG_INF = -1e30
 
 
-@functools.partial(jax.jit, static_argnames=("suppress_equal",))
-def nms_keep_mask(boxes, scores, iou_threshold, suppress_equal=False):
+@functools.partial(jax.jit, static_argnames=("suppress_equal", "max_keep"))
+def nms_keep_mask(boxes, scores, iou_threshold, suppress_equal=False,
+                  max_keep=None):
     """Greedy NMS on corner-format boxes.
 
     Args:
@@ -45,6 +48,9 @@ def nms_keep_mask(boxes, scores, iou_threshold, suppress_equal=False):
         scores: (N,). Entries with score <= NEG_INF/2 are treated as padding
             and never kept.
         iou_threshold: scalar.
+        max_keep: optional static cap on kept boxes (stops the pivot walk
+            early; survivors beyond the cap are dropped, matching a
+            top-max_keep truncation of torchvision's output).
 
     Returns:
         keep: (N,) bool mask over the ORIGINAL box order.
@@ -55,15 +61,33 @@ def nms_keep_mask(boxes, scores, iou_threshold, suppress_equal=False):
     scores_s = scores[order]
 
     ranks = jnp.arange(n)
-    keep = scores_s > NEG_INF / 2  # padding slots start dead
+    valid = scores_s > NEG_INF / 2  # padding slots can never be pivots
+    cap = n if max_keep is None else min(max_keep, n)
 
-    def body(i, keep):
-        iou_row = box_iou_corner(boxes_s[i][None, :], boxes_s)
-        overlap = iou_row >= iou_threshold if suppress_equal else iou_row > iou_threshold
-        suppress = overlap & (ranks > i) & keep[i]
-        return keep & ~suppress
+    def avail(keep, suppressed):
+        return valid & ~keep & ~suppressed
 
-    keep = jax.lax.fori_loop(0, n, body, keep)
+    def cond(carry):
+        keep, suppressed, count = carry
+        return jnp.any(avail(keep, suppressed)) & (count < cap)
+
+    def body(carry):
+        keep, suppressed, count = carry
+        a = avail(keep, suppressed)
+        # first available index == highest-scored unprocessed box
+        i = jnp.argmax(a)
+        pivot_box = jax.lax.dynamic_slice(boxes_s, (i, 0), (1, 4))
+        iou_row = box_iou_corner(pivot_box, boxes_s)  # (N,)
+        overlap = (
+            iou_row >= iou_threshold if suppress_equal
+            else iou_row > iou_threshold
+        )
+        keep = keep | (ranks == i)
+        suppressed = suppressed | (overlap & (ranks > i))
+        return keep, suppressed, count + 1
+
+    keep0 = jnp.zeros(n, bool)
+    keep, _, _ = jax.lax.while_loop(cond, body, (keep0, keep0, 0))
     # scatter back to original order
     return jnp.zeros(n, bool).at[order].set(keep)
 
@@ -97,6 +121,7 @@ def batched_nms_fixed(
         scores,
         iou_threshold,
         suppress_equal=suppress_equal,
+        max_keep=max_outputs,
     )
     masked_scores = jnp.where(keep, scores, NEG_INF)
     top_scores, top_idx = jax.lax.top_k(masked_scores, max_outputs)

@@ -1,0 +1,149 @@
+"""Pallas TPU kernel for fixed-shape greedy NMS.
+
+Replaces the reference's `torchvision.ops.batched_nms` C++/CUDA call
+(reference: train.py:1232-1233) with an on-chip kernel: boxes live in VMEM
+for the whole suppression walk, each pivot iteration is one VPU-wide IoU
+row over all K candidates, and the loop runs `#kept` iterations (the
+pivot-walk formulation, identical greedy semantics to torchvision).
+
+Layout notes (see /opt/skills/guides/pallas_guide.md):
+- boxes are passed TRANSPOSED (4, K) so each coordinate is contiguous
+  along lanes (K a multiple of 128);
+- scalars (iou threshold, max_keep) ride in SMEM as (1, 1);
+- masks are (1, K) float32 in VMEM (bool vectors tile poorly);
+- the sequential dependency is a `lax.while_loop` carried in registers —
+  nothing round-trips to HBM until the final keep-mask store.
+
+The pure-lax implementation in `ops.nms` is the correctness oracle; both
+produce bit-identical keep masks.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from yolo_from_scratch_tpu.ops.nms import NEG_INF, _class_offset_boxes
+
+LANE = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _nms_kernel(thr_ref, cap_ref, boxes_t_ref, valid_ref, keep_ref):
+    """boxes_t_ref: (4, K) sorted desc by score. valid_ref/keep_ref: (1, K)."""
+    k = boxes_t_ref.shape[1]
+    x1 = boxes_t_ref[0:1, :]  # (1, K)
+    y1 = boxes_t_ref[1:2, :]
+    x2 = boxes_t_ref[2:3, :]
+    y2 = boxes_t_ref[3:4, :]
+    area = (x2 - x1) * (y2 - y1)
+
+    thr = thr_ref[0, 0]
+    cap = cap_ref[0, 0]
+    ranks = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
+    valid = valid_ref[0:1, :]  # f32 0/1 mask
+
+    # All loop carries are f32 vectors / i32 scalars: bool vector carries
+    # and bool arg-reductions do not legalize in the Mosaic TPU lowering.
+    def avail(keep, suppressed):
+        return valid * (1.0 - keep) * (1.0 - suppressed)
+
+    def cond(carry):
+        keep, suppressed, count = carry
+        return (jnp.max(avail(keep, suppressed)) > 0.0) & (count < cap)
+
+    ranks_f = ranks.astype(jnp.float32)
+    kf = jnp.float32(k)
+
+    def body(carry):
+        keep, suppressed, count = carry
+        a = avail(keep, suppressed)
+        # first available == best score. The key is strictly decreasing in
+        # rank so the argmax is UNIQUE — Mosaic's argmax tie-breaking is
+        # not guaranteed to be first-occurrence.
+        i = jnp.argmax(a * (kf - ranks_f), axis=1)[0]
+
+        # pivot coordinate extraction via one-hot reduction (dynamic_slice
+        # of vector values is not lowerable in Mosaic)
+        onehot = jnp.where(ranks == i, 1.0, 0.0)
+        px1 = jnp.sum(x1 * onehot, axis=1, keepdims=True)
+        py1 = jnp.sum(y1 * onehot, axis=1, keepdims=True)
+        px2 = jnp.sum(x2 * onehot, axis=1, keepdims=True)
+        py2 = jnp.sum(y2 * onehot, axis=1, keepdims=True)
+        parea = (px2 - px1) * (py2 - py1)
+
+        ix1 = jnp.maximum(px1, x1)
+        iy1 = jnp.maximum(py1, y1)
+        ix2 = jnp.minimum(px2, x2)
+        iy2 = jnp.minimum(py2, y2)
+        inter = jnp.maximum(ix2 - ix1, 0.0) * jnp.maximum(iy2 - iy1, 0.0)
+        iou = inter / (parea + area - inter + 1e-6)
+
+        overlap = jnp.where(iou > thr, 1.0, 0.0) * jnp.where(ranks > i, 1.0, 0.0)
+        keep = jnp.maximum(keep, onehot)
+        suppressed = jnp.maximum(suppressed, overlap)
+        return keep, suppressed, count + 1
+
+    zeros = jnp.zeros((1, k), jnp.float32)
+    keep, _, _ = jax.lax.while_loop(cond, body, (zeros, zeros, 0))
+    keep_ref[0:1, :] = keep
+
+
+@functools.partial(jax.jit, static_argnames=("max_keep", "interpret"))
+def nms_keep_mask_pallas(boxes, scores, iou_threshold, max_keep=None,
+                         interpret=False):
+    """Drop-in Pallas equivalent of `ops.nms.nms_keep_mask` (torchvision
+    suppress-on-greater semantics). Returns (N,) bool keep mask in the
+    ORIGINAL box order."""
+    n = boxes.shape[0]
+    order = jnp.argsort(-scores)
+    boxes_s = boxes[order]
+    scores_s = scores[order]
+
+    k = _round_up(n, LANE)
+    pad = k - n
+    boxes_t = jnp.pad(boxes_s, ((0, pad), (0, 0))).T  # (4, K)
+    valid = jnp.pad(
+        (scores_s > NEG_INF / 2).astype(jnp.float32), (0, pad)
+    ).reshape(1, k)
+
+    cap = n if max_keep is None else min(max_keep, n)
+    thr = jnp.asarray([[iou_threshold]], jnp.float32)
+    cap_arr = jnp.asarray([[cap]], jnp.int32)
+
+    keep_f = pl.pallas_call(
+        _nms_kernel,
+        out_shape=jax.ShapeDtypeStruct((1, k), jnp.float32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(thr, cap_arr, boxes_t, valid)
+
+    keep_sorted = keep_f[0, :n] > 0.5
+    return jnp.zeros(n, bool).at[order].set(keep_sorted)
+
+
+def batched_nms_fixed_pallas(boxes, scores, classes, iou_threshold,
+                             max_outputs, interpret=False):
+    """Class-aware global NMS with fixed-size output — Pallas path.
+    Same contract as `ops.nms.batched_nms_fixed`."""
+    keep = nms_keep_mask_pallas(
+        _class_offset_boxes(boxes, classes), scores, iou_threshold,
+        max_keep=max_outputs, interpret=interpret,
+    )
+    masked_scores = jnp.where(keep, scores, NEG_INF)
+    top_scores, top_idx = jax.lax.top_k(masked_scores, max_outputs)
+    valid = top_scores > NEG_INF / 2
+    return boxes[top_idx], top_scores, classes[top_idx], valid

@@ -100,12 +100,19 @@ def fit(
     mesh=None,
     save_path=None,
     log=print,
+    metrics_path=None,
 ):
     """Full training driver (reference: train.py:1520-1545): per-epoch
-    train + eval + checkpoint + LR step. Returns (state, save_path)."""
+    train + eval + checkpoint + LR step. Returns (state, save_path).
+
+    `metrics_path`: optional JSONL file receiving one structured record per
+    epoch (SURVEY.md §5.5)."""
+    from yolo_from_scratch_tpu.utils.metrics_log import MetricsLogger
+
     if save_path is None:
         timestamp = datetime.now().strftime("%Y%m%d_%H%M%S")
         save_path = f"yolo_{timestamp}.ckpt"
+    metrics_logger = MetricsLogger(metrics_path)
 
     for epoch in range(epochs):
         lr = lr_at_epoch(epoch, warmup_epochs, epochs, initial_lr, min_lr)
@@ -124,6 +131,12 @@ def fit(
             f"Val: Loss {val_loss:.4f}, P {val_p:.1f}%, R {val_r:.1f}%, "
             f"F1 {val_f1:.1f}% | LR: {lr:.6f} | {n_imgs / max(dt, 1e-9):.1f} img/s"
         )
+        metrics_logger.log({
+            "epoch": epoch + 1, "loss": loss, "bbox": bbox, "obj": obj,
+            "cls": cls, "val_loss": val_loss, "val_precision": val_p,
+            "val_recall": val_r, "val_f1": val_f1, "lr": lr,
+            "images_per_sec": n_imgs / max(dt, 1e-9),
+        })
 
         save_checkpoint(
             save_path,
