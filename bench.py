@@ -129,6 +129,7 @@ def bench_infer(cfg):
 
 
 def main():
+    t_start = time.perf_counter()
     platform = jax.devices()[0].platform
     log(f"backend: {platform} ({jax.devices()[0]})")
 
@@ -139,19 +140,27 @@ def main():
     train_ips = bench_train(cfg)
     log(f"train ({dtype}): {train_ips:.2f} img/s/chip @ {IMG}x{IMG} batch {BATCH}")
 
+    # The axon remote compiler has no persistent cache; the infer graph is
+    # another multi-minute compile. Print the headline FIRST so a driver
+    # timeout can never lose it, then attempt the secondary metric.
+    result = json.dumps({
+        "metric": f"train_images_per_sec_per_chip_{IMG}",
+        "value": round(train_ips, 2),
+        "unit": "img/s",
+        "vs_baseline": round(train_ips / REFERENCE_CPU_TRAIN_IMG_S, 2),
+    })
+    print(result, flush=True)
+
+    elapsed = time.perf_counter() - t_start
+    if os.environ.get("BENCH_SKIP_INFER") or elapsed > 380:
+        log(f"skipping infer bench (elapsed {elapsed:.0f}s)")
+        return
     try:
         infer_p50 = bench_infer(cfg)
         log(f"infer p50 (device fwd+decode+NMS): {infer_p50 * 1000:.2f} ms "
             f"({1 / infer_p50:.1f} img/s)")
     except Exception as e:  # secondary metric must not kill the benchmark
         log(f"infer bench failed: {e}")
-
-    print(json.dumps({
-        "metric": f"train_images_per_sec_per_chip_{IMG}",
-        "value": round(train_ips, 2),
-        "unit": "img/s",
-        "vs_baseline": round(train_ips / REFERENCE_CPU_TRAIN_IMG_S, 2),
-    }))
 
 
 if __name__ == "__main__":
