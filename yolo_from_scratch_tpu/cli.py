@@ -75,6 +75,10 @@ def build_parser():
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--metrics-jsonl", type=str, default=None,
                         help="Write per-epoch structured metrics to this JSONL file")
+    parser.add_argument("--resume", type=str, default=None, metavar="CKPT",
+                        help="Resume training from a checkpoint (restores "
+                             "params, optimizer state, and epoch — the "
+                             "reference has no resume path)")
     return parser
 
 
@@ -240,9 +244,21 @@ def main(argv=None):
             print(f"  Warmup epochs: {args.warmup_epochs}")
             print(f"  Total epochs: {args.epochs}")
 
+            start_epoch = 0
+            save_path = None
             model, tx, state = create_train_state(
                 jax.random.PRNGKey(args.seed), cfg, args.lr
             )
+            if args.resume:
+                from yolo_from_scratch_tpu.train.loop import restore_train_state
+
+                state, cfg_ckpt, start_epoch = restore_train_state(
+                    args.resume, tx
+                )
+                cfg = cfg_ckpt.with_(compute_dtype=args.dtype)
+                model = YOLO(cfg)
+                save_path = args.resume
+                print(f"Resuming from {args.resume} at epoch {start_epoch + 1}")
             train_step = make_train_step(
                 model, tx, cfg, quirk_640=args.reference_quirks
             )
@@ -252,7 +268,8 @@ def main(argv=None):
                 model, tx, state, train_step, eval_step, train_loader,
                 val_loader, cfg, epochs=args.epochs, initial_lr=args.lr,
                 min_lr=args.min_lr, warmup_epochs=args.warmup_epochs, mesh=mesh,
-                metrics_path=args.metrics_jsonl,
+                metrics_path=args.metrics_jsonl, start_epoch=start_epoch,
+                save_path=save_path,
             )
             print(f"\nTraining complete. Model saved to {save_path}")
     else:

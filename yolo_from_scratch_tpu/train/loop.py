@@ -101,9 +101,15 @@ def fit(
     save_path=None,
     log=print,
     metrics_path=None,
+    start_epoch=0,
+    save_opt_state=True,
 ):
     """Full training driver (reference: train.py:1520-1545): per-epoch
     train + eval + checkpoint + LR step. Returns (state, save_path).
+
+    Beyond the reference: checkpoints carry the optimizer state and epoch,
+    and `start_epoch` resumes mid-schedule (the reference always restarts
+    from scratch — SURVEY.md §5.3).
 
     `metrics_path`: optional JSONL file receiving one structured record per
     epoch (SURVEY.md §5.5)."""
@@ -114,7 +120,7 @@ def fit(
         save_path = f"yolo_{timestamp}.ckpt"
     metrics_logger = MetricsLogger(metrics_path)
 
-    for epoch in range(epochs):
+    for epoch in range(start_epoch, epochs):
         lr = lr_at_epoch(epoch, warmup_epochs, epochs, initial_lr, min_lr)
         state = set_learning_rate(state, lr)
 
@@ -144,6 +150,30 @@ def fit(
              "batch_stats": jax.device_get(state.batch_stats)},
             cfg,
             epoch=epoch,
+            opt_state=state.opt_state if save_opt_state else None,
         )
 
     return state, save_path
+
+
+def restore_train_state(ckpt_path, tx):
+    """Rebuild a TrainState (incl. optimizer state when present) from a
+    checkpoint for `--resume`. Returns (state, cfg, start_epoch)."""
+    import jax.numpy as jnp
+    from flax import serialization
+
+    from yolo_from_scratch_tpu.train.steps import TrainState
+    from yolo_from_scratch_tpu.utils.checkpoint import load_checkpoint
+
+    variables, cfg, meta = load_checkpoint(ckpt_path)
+    params = variables["params"]
+    opt_state = tx.init(params)
+    if meta.get("opt_state") is not None:
+        opt_state = serialization.from_state_dict(opt_state, meta["opt_state"])
+    state = TrainState(
+        params=params,
+        batch_stats=variables["batch_stats"],
+        opt_state=opt_state,
+        step=jnp.zeros((), jnp.int32),
+    )
+    return state, cfg, meta["epoch"] + 1

@@ -43,7 +43,11 @@ def save_checkpoint(
         "compute_dtype": cfg.compute_dtype,
     }
     if opt_state is not None:
-        payload["opt_state"] = jax.device_get(opt_state)
+        # optax states are custom pytrees; flatten to a plain state dict so
+        # msgpack can serialize them (restored via from_state_dict)
+        payload["opt_state"] = jax.device_get(
+            serialization.to_state_dict(opt_state)
+        )
     if extra:
         payload["extra"] = extra
     blob = serialization.msgpack_serialize(payload)
