@@ -32,7 +32,7 @@ from yolo_from_scratch_tpu.infer.predict import make_postprocess
 from yolo_from_scratch_tpu.models.yolo import YOLO
 from yolo_from_scratch_tpu.train.steps import (
     create_train_state,
-    make_train_step,
+    make_train_step_multi,
     set_learning_rate,
 )
 
@@ -77,31 +77,42 @@ def _init_on_host(fn, *args, **kw):
         return fn(*args, **kw)
 
 
-def bench_train(cfg, batch=BATCH):
+def bench_train(cfg, batch=BATCH, chunk=10):
+    """Sustained training throughput: `chunk` real optimizer steps per
+    dispatch via the scanned multi-step trainer (a single per-step dispatch
+    of the full TrainState costs ~10ms of host/tunnel time — more than the
+    ~2ms the device needs for the step — so per-step dispatch measures the
+    host, not the TPU)."""
     model, tx, state = _init_on_host(
         create_train_state, jax.random.PRNGKey(0), cfg, 1e-3, batch_size=1
     )
     state = jax.device_put(state, jax.devices()[0])
-    train_step = make_train_step(model, tx, cfg)
+    train_steps = make_train_step_multi(model, tx, cfg)
     state = set_learning_rate(state, 1e-3)
 
     images_np, targets_np = make_batch(cfg, batch)
-    images = jnp.asarray(images_np)
-    targets = [jnp.asarray(t) for t in targets_np]
+    # stage `chunk` batches (same content; the device doesn't care)
+    images = jnp.asarray(np.broadcast_to(
+        images_np, (chunk,) + images_np.shape).copy())
+    t3, t4, t5 = (
+        jnp.asarray(np.broadcast_to(t, (chunk,) + t.shape).copy())
+        for t in targets_np
+    )
 
     for _ in range(WARMUP):
-        state, metrics = train_step(state, images, targets)
+        state, metrics = train_steps(state, images, t3, t4, t5)
     jax.block_until_ready(metrics["loss"])
 
+    n_dispatch = max(TRAIN_STEPS // chunk, 2)
     t0 = time.perf_counter()
-    for _ in range(TRAIN_STEPS):
-        state, metrics = train_step(state, images, targets)
+    for _ in range(n_dispatch):
+        state, metrics = train_steps(state, images, t3, t4, t5)
     jax.block_until_ready(metrics["loss"])
     dt = time.perf_counter() - t0
 
     loss = float(metrics["loss"])
     assert np.isfinite(loss), f"non-finite loss in benchmark: {loss}"
-    return batch * TRAIN_STEPS / dt
+    return batch * chunk * n_dispatch / dt
 
 
 def bench_infer(cfg):

@@ -107,6 +107,58 @@ def make_train_step(model: YOLO, tx, cfg: YoloConfig, quirk_640: bool = False,
     return jax.jit(train_step, donate_argnums=donate_argnums)
 
 
+def make_train_step_multi(model: YOLO, tx, cfg: YoloConfig, quirk_640=False,
+                          donate=True):
+    """Scanned multi-step trainer: N sequential optimizer updates in ONE
+    jitted dispatch.
+
+    (state, images (N, B, S, S, 3), targets [(N, B, g, g, A, D)] x3)
+      -> (state, metrics averaged over the N steps)
+
+    Why: each Python->device dispatch of a full TrainState pytree costs
+    ~10ms of host time on a weak host (and a round trip through the axon
+    tunnel); at 640² the device finishes a step in ~2ms, so per-step
+    dispatch makes training HOST-bound. `lax.scan` over pre-staged batches
+    keeps the device saturated — this is the high-throughput path the
+    input queue feeds.
+    """
+    anchors = cfg.anchors_array
+
+    def loss_fn(params, batch_stats, images, targets):
+        preds, mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            images,
+            train=True,
+            mutable=["batch_stats"],
+        )
+        total, bbox, obj, cls = yolo_loss_multiscale(
+            preds, targets, anchors, cfg.num_classes, cfg.img_size, quirk_640
+        )
+        return total, (mutated["batch_stats"], bbox, obj, cls)
+
+    def one_step(state, images, targets):
+        (total, (new_bs, bbox, obj, cls)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, state.batch_stats, images, targets)
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(new_params, new_bs, new_opt_state, state.step + 1),
+            {"loss": total, "bbox": bbox, "obj": obj, "cls": cls},
+        )
+
+    def train_steps(state, images, t3, t4, t5):
+        def body(state, batch):
+            imgs, a, b, c = batch
+            return one_step(state, imgs, [a, b, c])
+
+        state, metrics = jax.lax.scan(body, state, (images, t3, t4, t5))
+        return state, jax.tree.map(jnp.mean, metrics)
+
+    donate_argnums = (0,) if donate else ()
+    return jax.jit(train_steps, donate_argnums=donate_argnums)
+
+
 def make_eval_step(model: YOLO, cfg: YoloConfig, conf_threshold=0.5,
                    iou_threshold=0.5, quirk_640: bool = False):
     """Build the jitted eval step: loss + grid-aligned TP/FP/FN counts.
