@@ -67,6 +67,11 @@ def build_parser():
     parser.add_argument("--dtype", type=str, default="float32",
                         choices=["float32", "bfloat16"],
                         help="Compute dtype for the conv path")
+    parser.add_argument("--head", type=str, default="anchor",
+                        choices=["anchor", "anchor_free"],
+                        help="Detection head family: 'anchor' (reference-"
+                             "parity 3-anchor heads) or 'anchor_free' "
+                             "(YOLOv8-style decoupled head)")
     parser.add_argument("--data-parallel", action="store_true",
                         help="Shard batches over all local devices (DP mesh)")
     parser.add_argument("--reference-quirks", action="store_true",
@@ -202,7 +207,8 @@ def main(argv=None):
             eval_step = make_eval_step(model, cfg, quirk_640=args.reference_quirks)
             anchors = cfg.anchors_array
             mk_loader = lambda split: DataLoader(
-                YoloDataset(config[split], cfg.num_classes, anchors, cfg.img_size),
+                YoloDataset(config[split], cfg.num_classes, anchors,
+                            cfg.img_size, head_type=cfg.head_type),
                 batch_size=args.batch_size,
             )
             for title, split in (("Training", "train"), ("Validation", "val")):
@@ -223,14 +229,17 @@ def main(argv=None):
                 width_mult=size_cfg["width_mult"],
                 depth_mult=size_cfg["depth_mult"],
                 compute_dtype=args.dtype,
+                head_type=args.head,
             )
             anchors = cfg.anchors_array
             train_loader = DataLoader(
-                YoloDataset(config["train"], num_classes, anchors, cfg.img_size),
+                YoloDataset(config["train"], num_classes, anchors, cfg.img_size,
+                            head_type=cfg.head_type),
                 batch_size=args.batch_size, shuffle=True, seed=args.seed,
             )
             val_loader = DataLoader(
-                YoloDataset(config["val"], num_classes, anchors, cfg.img_size),
+                YoloDataset(config["val"], num_classes, anchors, cfg.img_size,
+                            head_type=cfg.head_type),
                 batch_size=args.batch_size,
             )
             print("Training YOLO model")

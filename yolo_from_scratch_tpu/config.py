@@ -69,10 +69,15 @@ class YoloConfig:
     # anchors stored as a nested tuple so the dataclass stays hashable
     anchors: tuple = DEFAULT_ANCHORS
     compute_dtype: str = "float32"  # "bfloat16" for TPU throughput configs
+    # "anchor" = reference-parity 3-anchor heads; "anchor_free" = the
+    # YOLOv8-style decoupled head (BASELINE config 5 stretch)
+    head_type: str = "anchor"
 
     def __post_init__(self):
         if self.img_size % 32 != 0:
             raise ValueError(f"img_size must be divisible by 32, got {self.img_size}")
+        if self.head_type not in ("anchor", "anchor_free"):
+            raise ValueError(f"unknown head_type {self.head_type!r}")
         arr = normalize_anchors(self.anchors if self.anchors else None)
         object.__setattr__(
             self, "anchors", tuple(tuple(tuple(float(v) for v in wh) for wh in s) for s in arr)

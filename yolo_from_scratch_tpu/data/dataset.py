@@ -128,7 +128,7 @@ class YoloDataset:
     """
 
     def __init__(self, img_dir, num_classes=1, anchors=None, img_size=640,
-                 backend="auto"):
+                 backend="auto", head_type="anchor"):
         self.imgs = sorted(
             glob.glob(f"{img_dir}/*.jpg") + glob.glob(f"{img_dir}/*.png")
         )
@@ -147,6 +147,20 @@ class YoloDataset:
 
             backend = "native" if native.available() else "pil"
         self.backend = backend
+        self.head_type = head_type
+
+    def _assign(self, boxes, class_ids):
+        if self.head_type == "anchor_free":
+            from yolo_from_scratch_tpu.models.anchor_free import (
+                assign_targets_anchor_free,
+            )
+
+            return assign_targets_anchor_free(
+                boxes, class_ids, self.img_size, self.num_classes
+            )
+        return assign_targets(
+            boxes, class_ids, self.anchors, self.img_size, self.num_classes
+        )
 
     def __len__(self):
         return len(self.imgs)
@@ -164,20 +178,15 @@ class YoloDataset:
         boxes = adjust_boxes_for_letterbox(
             rows[:, 1:5], orig_w, orig_h, scale, pad_top, pad_left, self.img_size
         )
-        targets = assign_targets(
-            boxes, rows[:, 0].astype(np.int64), self.anchors, self.img_size,
-            self.num_classes,
-        )
+        targets = self._assign(boxes, rows[:, 0].astype(np.int64))
         return img, targets
 
     def _targets_for(self, idx, scale, pad_top, pad_left):
         """Dense targets for image idx given its letterbox geometry. A
         failed decode (scale == 0) yields empty targets."""
         if scale <= 0:
-            return assign_targets(
-                np.zeros((0, 4), np.float32), np.zeros(0, np.int64),
-                self.anchors, self.img_size, self.num_classes,
-            )
+            return self._assign(np.zeros((0, 4), np.float32),
+                                np.zeros(0, np.int64))
         rows = parse_label_file(self.labels[idx])
         from PIL import Image  # geometry needs original dims; read header only
 
@@ -187,10 +196,7 @@ class YoloDataset:
             rows[:, 1:5], orig_w, orig_h, scale, pad_top, pad_left,
             self.img_size,
         )
-        return assign_targets(
-            boxes, rows[:, 0].astype(np.int64), self.anchors, self.img_size,
-            self.num_classes,
-        )
+        return self._assign(boxes, rows[:, 0].astype(np.int64))
 
     def load_batch(self, indices, n_threads=4):
         """Batch fast path: native threaded decode+letterbox when enabled,

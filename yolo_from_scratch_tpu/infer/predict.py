@@ -29,11 +29,12 @@ from yolo_from_scratch_tpu.ops.decode import decode_predictions
 from yolo_from_scratch_tpu.ops.nms import NEG_INF, batched_nms_fixed
 
 
-def default_topk(img_size: int) -> int:
+def default_topk(img_size: int, preds_per_cell: int = 3) -> int:
     """Static NMS candidate capacity per resolution. Total raw predictions
-    are 3 * sum((S/8)^2 + (S/16)^2 + (S/32)^2) = 25,200 @640 / 100,800
-    @1280; after the confidence prefilter a few thousand survive."""
-    total = 3 * sum((img_size // s) ** 2 for s in (8, 16, 32))
+    are A * sum((S/8)^2 + (S/16)^2 + (S/32)^2) — 25,200 @640 / 100,800
+    @1280 for the 3-anchor head; after the confidence prefilter a few
+    thousand survive."""
+    total = preds_per_cell * sum((img_size // s) ** 2 for s in (8, 16, 32))
     return min(total, 4096)
 
 
@@ -49,7 +50,8 @@ def make_postprocess(model: YOLO, cfg: YoloConfig, conf_threshold=0.5,
     anchors = cfg.anchors_array
     img_size = cfg.img_size
     nc = cfg.num_classes
-    k = topk or default_topk(img_size)
+    per_cell = 1 if cfg.head_type == "anchor_free" else 3
+    k = topk or default_topk(img_size, per_cell)
     max_out = max_outputs or k
     if use_pallas_nms is None:
         use_pallas_nms = jax.devices()[0].platform not in ("cpu",)
@@ -64,29 +66,48 @@ def make_postprocess(model: YOLO, cfg: YoloConfig, conf_threshold=0.5,
     def postprocess(variables, img, scale, pad_top, pad_left):
         preds = model.apply(variables, img, train=False)
 
-        boxes_all, obj_all, cls_all = [], [], []
-        for pred, anc in zip(preds, anchors):
-            decoded = decode_predictions(pred, anc, img_size)
-            flat = decoded.reshape(-1, 5 + nc)
-            boxes_all.append(flat[:, 0:4])
-            obj_all.append(jax.nn.sigmoid(flat[:, 4]))
-            cls_all.append(jax.nn.sigmoid(flat[:, 5:]))
+        if cfg.head_type == "anchor_free":
+            from yolo_from_scratch_tpu.config import STRIDES
+            from yolo_from_scratch_tpu.models.anchor_free import (
+                decode_anchor_free,
+            )
 
-        boxes = jnp.concatenate(boxes_all)  # (M, 4) normalized cx cy w h
-        obj = jnp.concatenate(obj_all)  # (M,)
-        cls = jnp.concatenate(cls_all)  # (M, nc)
-
-        if nc == 1:
-            cls_prob = cls[:, 0]
-            cls_id = jnp.zeros(cls.shape[0], jnp.int32)
-        else:
+            boxes_all, cls_all = [], []
+            for pred, stride in zip(preds, STRIDES):
+                decoded = decode_anchor_free(pred, stride, img_size)
+                flat = decoded.reshape(-1, 4 + nc)
+                boxes_all.append(flat[:, 0:4])
+                cls_all.append(jax.nn.sigmoid(flat[:, 4:]))
+            boxes = jnp.concatenate(boxes_all)
+            cls = jnp.concatenate(cls_all)
             cls_prob = jnp.max(cls, axis=1)
             cls_id = jnp.argmax(cls, axis=1).astype(jnp.int32)
+            conf = cls_prob  # objectness folded into cls
+            score = jnp.where(conf > conf_threshold, conf, NEG_INF)
+        else:
+            boxes_all, obj_all, cls_all = [], [], []
+            for pred, anc in zip(preds, anchors):
+                decoded = decode_predictions(pred, anc, img_size)
+                flat = decoded.reshape(-1, 5 + nc)
+                boxes_all.append(flat[:, 0:4])
+                obj_all.append(jax.nn.sigmoid(flat[:, 4]))
+                cls_all.append(jax.nn.sigmoid(flat[:, 5:]))
 
-        # objectness confidence filter (reference: train.py:1167), then
-        # combined confidence obj*cls (train.py:1216)
-        conf = obj * cls_prob
-        score = jnp.where(obj > conf_threshold, conf, NEG_INF)
+            boxes = jnp.concatenate(boxes_all)  # (M, 4) normalized cx cy w h
+            obj = jnp.concatenate(obj_all)  # (M,)
+            cls = jnp.concatenate(cls_all)  # (M, nc)
+
+            if nc == 1:
+                cls_prob = cls[:, 0]
+                cls_id = jnp.zeros(cls.shape[0], jnp.int32)
+            else:
+                cls_prob = jnp.max(cls, axis=1)
+                cls_id = jnp.argmax(cls, axis=1).astype(jnp.int32)
+
+            # objectness confidence filter (reference: train.py:1167), then
+            # combined confidence obj*cls (train.py:1216)
+            conf = obj * cls_prob
+            score = jnp.where(obj > conf_threshold, conf, NEG_INF)
 
         # normalized -> letterboxed pixels -> corners -> original image
         # coords (reference: train.py:1192-1213)

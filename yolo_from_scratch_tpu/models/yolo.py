@@ -160,9 +160,28 @@ class YOLO(nn.Module):
 
         # ===== Heads (reference: train.py:452-466, 600-632) =====
         na, nc = cfg.num_anchors, cfg.num_classes
-        out_p3 = DetectHead(cfg.c_p3, na, nc, dtype=dt, name="head_p3")(p3_fpn, train)
-        out_p4 = DetectHead(cfg.c_p4, na, nc, dtype=dt, name="head_p4")(p4_panet, train)
-        out_p5 = DetectHead(cfg.c_p5, na, nc, dtype=dt, name="head_p5")(p5_panet, train)
+        if cfg.head_type == "anchor_free":
+            from yolo_from_scratch_tpu.models.anchor_free import DecoupledHead
+
+            out_p3 = DecoupledHead(cfg.c_p3, nc, dtype=dt, name="head_p3")(
+                p3_fpn, train
+            )
+            out_p4 = DecoupledHead(cfg.c_p4, nc, dtype=dt, name="head_p4")(
+                p4_panet, train
+            )
+            out_p5 = DecoupledHead(cfg.c_p5, nc, dtype=dt, name="head_p5")(
+                p5_panet, train
+            )
+        else:
+            out_p3 = DetectHead(cfg.c_p3, na, nc, dtype=dt, name="head_p3")(
+                p3_fpn, train
+            )
+            out_p4 = DetectHead(cfg.c_p4, na, nc, dtype=dt, name="head_p4")(
+                p4_panet, train
+            )
+            out_p5 = DetectHead(cfg.c_p5, na, nc, dtype=dt, name="head_p5")(
+                p5_panet, train
+            )
 
         gs3, gs4, gs5 = cfg.grid_sizes
         assert out_p3.shape[1:3] == (gs3, gs3), (out_p3.shape, gs3)

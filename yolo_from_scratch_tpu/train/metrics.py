@@ -63,6 +63,32 @@ def grid_metric_counts(
     return to_i32(tp), to_i32(fp), to_i32(fn)
 
 
+def grid_metric_counts_anchor_free(
+    pred, target, stride, img_size, conf_threshold=0.5, iou_threshold=0.5,
+    per_image=False,
+):
+    """Anchor-free analogue of `grid_metric_counts`: confidence is the max
+    class score (objectness is folded into cls in the decoupled head);
+    the assigned flag lives at target channel 4."""
+    from yolo_from_scratch_tpu.models.anchor_free import decode_anchor_free
+
+    decoded = decode_anchor_free(pred, stride, img_size)
+    conf = jnp.max(jax.nn.sigmoid(pred[..., 4:]), axis=-1)
+    pm = conf > conf_threshold
+    tm = target[..., 4] > conf_threshold
+
+    iou = box_iou_center(decoded[..., 0:4], target[..., 0:4], eps=1e-6)
+    hit = iou > iou_threshold
+
+    tp = pm & tm & hit
+    fp = (pm & tm & ~hit) | (pm & ~tm)
+    fn = ~pm & tm
+
+    axes = (1, 2) if per_image else None
+    to_i32 = lambda m: jnp.sum(m.astype(jnp.int32), axis=axes)
+    return to_i32(tp), to_i32(fp), to_i32(fn)
+
+
 def prf1(tp, fp, fn):
     """Precision/recall/F1 in percent from counts (reference:
     train.py:1026-1032)."""

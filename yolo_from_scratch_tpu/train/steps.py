@@ -70,23 +70,49 @@ def create_train_state(rng, cfg: YoloConfig, learning_rate=1e-2, batch_size=1):
     return model, tx, state
 
 
-def make_train_step(model: YOLO, tx, cfg: YoloConfig, quirk_640: bool = False,
-                    donate: bool = True):
-    """Build the jitted train step: (state, images, targets3) -> (state, metrics)."""
-
+def _make_loss_fn(model: YOLO, cfg: YoloConfig, quirk_640: bool):
+    """Head-family dispatch: anchor-based (reference parity) or the
+    anchor-free decoupled head. Returns
+    loss_fn(params, batch_stats, images, targets)
+      -> (total, (new_batch_stats, bbox, obj, cls))."""
     anchors = cfg.anchors_array
+
+    if cfg.head_type == "anchor_free":
+        from yolo_from_scratch_tpu.models.anchor_free import (
+            yolo_loss_anchor_free,
+        )
+
+        def loss_fn(params, batch_stats, images, targets):
+            preds, mutated = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                images, train=True, mutable=["batch_stats"],
+            )
+            total, bbox, cls = yolo_loss_anchor_free(
+                preds, targets, cfg.num_classes, cfg.img_size
+            )
+            zero = jnp.zeros((), total.dtype)
+            return total, (mutated["batch_stats"], bbox, zero, cls)
+
+        return loss_fn
 
     def loss_fn(params, batch_stats, images, targets):
         preds, mutated = model.apply(
             {"params": params, "batch_stats": batch_stats},
-            images,
-            train=True,
-            mutable=["batch_stats"],
+            images, train=True, mutable=["batch_stats"],
         )
         total, bbox, obj, cls = yolo_loss_multiscale(
             preds, targets, anchors, cfg.num_classes, cfg.img_size, quirk_640
         )
         return total, (mutated["batch_stats"], bbox, obj, cls)
+
+    return loss_fn
+
+
+def make_train_step(model: YOLO, tx, cfg: YoloConfig, quirk_640: bool = False,
+                    donate: bool = True):
+    """Build the jitted train step: (state, images, targets3) -> (state, metrics)."""
+
+    loss_fn = _make_loss_fn(model, cfg, quirk_640)
 
     def train_step(state: TrainState, images, targets):
         (total, (new_bs, bbox, obj, cls)), grads = jax.value_and_grad(
@@ -117,24 +143,10 @@ def make_train_step_multi(model: YOLO, tx, cfg: YoloConfig, quirk_640=False,
 
     Why: each Python->device dispatch of a full TrainState pytree costs
     ~10ms of host time on a weak host (and a round trip through the axon
-    tunnel); at 640² the device finishes a step in ~2ms, so per-step
-    dispatch makes training HOST-bound. `lax.scan` over pre-staged batches
-    keeps the device saturated — this is the high-throughput path the
-    input queue feeds.
+    tunnel); `lax.scan` over pre-staged batches amortizes that — this is
+    the high-throughput path the input queue feeds.
     """
-    anchors = cfg.anchors_array
-
-    def loss_fn(params, batch_stats, images, targets):
-        preds, mutated = model.apply(
-            {"params": params, "batch_stats": batch_stats},
-            images,
-            train=True,
-            mutable=["batch_stats"],
-        )
-        total, bbox, obj, cls = yolo_loss_multiscale(
-            preds, targets, anchors, cfg.num_classes, cfg.img_size, quirk_640
-        )
-        return total, (mutated["batch_stats"], bbox, obj, cls)
+    loss_fn = _make_loss_fn(model, cfg, quirk_640)
 
     def one_step(state, images, targets):
         (total, (new_bs, bbox, obj, cls)), grads = jax.value_and_grad(
@@ -169,6 +181,36 @@ def make_eval_step(model: YOLO, cfg: YoloConfig, conf_threshold=0.5,
     """
 
     anchors = cfg.anchors_array
+
+    if cfg.head_type == "anchor_free":
+        from yolo_from_scratch_tpu.config import STRIDES
+        from yolo_from_scratch_tpu.models.anchor_free import (
+            yolo_loss_anchor_free,
+        )
+        from yolo_from_scratch_tpu.train.metrics import (
+            grid_metric_counts_anchor_free,
+        )
+
+        @jax.jit
+        def eval_step_af(params, batch_stats, images, targets):
+            preds = model.apply(
+                {"params": params, "batch_stats": batch_stats}, images,
+                train=False,
+            )
+            loss, _, _ = yolo_loss_anchor_free(
+                preds, targets, cfg.num_classes, cfg.img_size
+            )
+            b = images.shape[0]
+            tp = fp = fn = jnp.zeros((b,), jnp.int32)
+            for pred, tgt, stride in zip(preds, targets, STRIDES):
+                t, f, n = grid_metric_counts_anchor_free(
+                    pred, tgt, stride, cfg.img_size, conf_threshold,
+                    iou_threshold, per_image=True,
+                )
+                tp, fp, fn = tp + t, fp + f, fn + n
+            return loss, tp, fp, fn
+
+        return eval_step_af
 
     @jax.jit
     def eval_step(params, batch_stats, images, targets):

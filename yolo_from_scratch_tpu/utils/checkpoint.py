@@ -41,6 +41,7 @@ def save_checkpoint(
         "depth_mult": float(cfg.depth_mult),
         "anchors": np.asarray(cfg.anchors, np.float32),
         "compute_dtype": cfg.compute_dtype,
+        "head_type": cfg.head_type,
     }
     if opt_state is not None:
         # optax states are custom pytrees; flatten to a plain state dict so
@@ -71,6 +72,7 @@ def load_checkpoint(path):
             for s in np.asarray(payload["anchors"])
         ),
         compute_dtype=payload.get("compute_dtype", "float32"),
+        head_type=payload.get("head_type", "anchor"),
     )
     meta = {
         "epoch": int(payload.get("epoch", 0)),
