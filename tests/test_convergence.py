@@ -1,0 +1,109 @@
+"""End-to-end learning test: overfit a tiny learnable dataset and verify
+the trained model actually detects (grid-aligned recall + NMS predict).
+
+No analogue in the reference suite — this is the framework's strongest
+correctness signal: a sign error anywhere in decode/loss/assignment would
+keep recall at zero.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from yolo_from_scratch_tpu.config import YoloConfig
+from yolo_from_scratch_tpu.data.dataset import assign_targets
+from yolo_from_scratch_tpu.train.metrics import prf1
+from yolo_from_scratch_tpu.train.steps import (
+    create_train_state,
+    make_eval_step,
+    make_train_step_multi,
+    set_learning_rate,
+)
+
+IMG = 96
+
+
+@pytest.fixture(scope="module")
+def learnable_batch():
+    """8 images: gray background + one solid bright box each (the 'cone'
+    style workload of BASELINE config 1, miniaturized)."""
+    rng = np.random.default_rng(0)
+    cfg = YoloConfig(num_classes=1, img_size=IMG, width_mult=0.25)
+    images, tgts = [], []
+    for _ in range(8):
+        img = np.full((IMG, IMG, 3), 0.3, np.float32)
+        w, h = rng.uniform(0.25, 0.45, 2)
+        cx = rng.uniform(w / 2 + 0.05, 0.95 - w / 2)
+        cy = rng.uniform(h / 2 + 0.05, 0.95 - h / 2)
+        x1, y1 = int((cx - w / 2) * IMG), int((cy - h / 2) * IMG)
+        x2, y2 = int((cx + w / 2) * IMG), int((cy + h / 2) * IMG)
+        img[y1:y2, x1:x2] = [0.9, 0.2, 0.1]
+        images.append(img)
+        boxes = np.array([[cx, cy, w, h]], np.float32)
+        tgts.append(assign_targets(boxes, np.array([0]), cfg.anchors_array,
+                                   IMG, 1))
+    images = np.stack(images)
+    targets = [np.stack([t[s] for t in tgts]) for s in range(3)]
+    return cfg, images, targets
+
+
+def test_model_learns_to_detect(learnable_batch):
+    cfg, images, targets = learnable_batch
+    model, tx, state = create_train_state(jax.random.PRNGKey(0), cfg, 3e-3)
+    multi = make_train_step_multi(model, tx, cfg, donate=False)
+    eval_step = make_eval_step(model, cfg, conf_threshold=0.5)
+    state = set_learning_rate(state, 3e-3)
+
+    n = 10  # steps per dispatch
+    imgs_n = jnp.asarray(np.broadcast_to(images, (n,) + images.shape).copy())
+    t_n = [jnp.asarray(np.broadcast_to(t, (n,) + t.shape).copy())
+           for t in targets]
+
+    first_loss = None
+    for chunk in range(12):  # 120 optimizer steps total
+        state, metrics = multi(state, imgs_n, *t_n)
+        if first_loss is None:
+            first_loss = float(metrics["loss"])
+    final_loss = float(metrics["loss"])
+    assert final_loss < first_loss * 0.5, (first_loss, final_loss)
+
+    loss, tp, fp, fn = jax.device_get(
+        eval_step(state.params, state.batch_stats, jnp.asarray(images),
+                  [jnp.asarray(t) for t in targets])
+    )
+    p, r, f1 = prf1(int(np.sum(tp)), int(np.sum(fp)), int(np.sum(fn)))
+    # overfitting 8 fixed images: the detector must find most boxes
+    assert r >= 50.0, f"recall {r:.1f}% — model failed to learn (P={p:.1f})"
+    assert f1 >= 50.0, f"F1 {f1:.1f}%"
+
+    # and the full NMS predict path returns a box overlapping the target
+    from PIL import Image
+
+    from yolo_from_scratch_tpu.infer.predict import Predictor
+
+    pil = Image.fromarray((np.asarray(images[0]) * 255).astype(np.uint8))
+    dets = Predictor(
+        {"params": state.params, "batch_stats": state.batch_stats}, cfg,
+        conf_threshold=0.4,
+    )(pil)
+    assert len(dets) >= 1
+    # target box of image 0 in pixels
+    t0 = targets[0][0], targets[1][0], targets[2][0]
+    gt = None
+    for t in t0:
+        idx = np.argwhere(t[..., 4] == 1.0)
+        if len(idx):
+            gy, gx, a = idx[0]
+            gt = t[gy, gx, a, 0:4] * IMG
+    assert gt is not None
+    x1, y1, x2, y2 = gt[0] - gt[2] / 2, gt[1] - gt[3] / 2, \
+        gt[0] + gt[2] / 2, gt[1] + gt[3] / 2
+    best_iou = 0.0
+    for d in dets:
+        ix1, iy1 = max(d[0], x1), max(d[1], y1)
+        ix2, iy2 = min(d[2], x2), min(d[3], y2)
+        inter = max(0, ix2 - ix1) * max(0, iy2 - iy1)
+        union = (d[2] - d[0]) * (d[3] - d[1]) + (x2 - x1) * (y2 - y1) - inter
+        best_iou = max(best_iou, inter / union if union > 0 else 0.0)
+    assert best_iou > 0.5, f"best predicted IoU vs GT only {best_iou:.2f}"
