@@ -128,6 +128,88 @@ def make_postprocess(model: YOLO, cfg: YoloConfig, conf_threshold=0.5,
     return postprocess
 
 
+def make_batch_postprocess(model: YOLO, cfg: YoloConfig, conf_threshold=0.5,
+                           iou_threshold=0.4, topk=None, max_outputs=300,
+                           use_pallas_nms=None):
+    """Batched serving path: (variables, imgs (B, S, S, 3), scales (B,),
+    pad_tops (B,), pad_lefts (B,)) -> per-image fixed-shape detections
+    (boxes (B, K, 4), scores (B, K), classes (B, K), valid (B, K)).
+
+    One forward over the whole batch, then the per-image postprocess
+    (decode -> top-k -> greedy NMS) vmapped across the batch — the
+    suppression while_loop batches into a single device program. This is
+    the high-throughput serving entry the reference lacks (its `predict`
+    is strictly single-image, train.py:1114).
+    """
+    anchors = cfg.anchors_array
+    img_size = cfg.img_size
+    nc = cfg.num_classes
+    per_cell = 1 if cfg.head_type == "anchor_free" else 3
+    k = topk or default_topk(img_size, per_cell)
+    if use_pallas_nms is None:
+        use_pallas_nms = False  # vmapped pallas_call is not supported; lax path
+
+    def per_image(flat_boxes, flat_obj, flat_cls, scale, pad_top, pad_left):
+        if nc == 1 and cfg.head_type != "anchor_free":
+            cls_prob = flat_cls[:, 0]
+            cls_id = jnp.zeros(flat_cls.shape[0], jnp.int32)
+        else:
+            cls_prob = jnp.max(flat_cls, axis=1)
+            cls_id = jnp.argmax(flat_cls, axis=1).astype(jnp.int32)
+        if cfg.head_type == "anchor_free":
+            conf = cls_prob
+            gate = cls_prob
+        else:
+            conf = flat_obj * cls_prob
+            gate = flat_obj
+        score = jnp.where(gate > conf_threshold, conf, NEG_INF)
+
+        cx, cy = flat_boxes[:, 0] * img_size, flat_boxes[:, 1] * img_size
+        w, h = flat_boxes[:, 2] * img_size, flat_boxes[:, 3] * img_size
+        x1 = (cx - w / 2 - pad_left) / scale
+        y1 = (cy - h / 2 - pad_top) / scale
+        x2 = (cx + w / 2 - pad_left) / scale
+        y2 = (cy + h / 2 - pad_top) / scale
+        corners = jnp.stack([x1, y1, x2, y2], axis=1)
+
+        top_scores, idx = jax.lax.top_k(score, k)
+        return batched_nms_fixed(
+            corners[idx], top_scores, cls_id[idx], iou_threshold, max_outputs
+        )
+
+    @jax.jit
+    def postprocess(variables, imgs, scales, pad_tops, pad_lefts):
+        preds = model.apply(variables, imgs, train=False)
+        b = imgs.shape[0]
+        boxes_all, obj_all, cls_all = [], [], []
+        if cfg.head_type == "anchor_free":
+            from yolo_from_scratch_tpu.config import STRIDES
+            from yolo_from_scratch_tpu.models.anchor_free import (
+                decode_anchor_free,
+            )
+
+            for pred, stride in zip(preds, STRIDES):
+                decoded = decode_anchor_free(pred, stride, img_size)
+                flat = decoded.reshape(b, -1, 4 + nc)
+                boxes_all.append(flat[..., 0:4])
+                obj_all.append(jnp.ones(flat.shape[:2], flat.dtype))
+                cls_all.append(jax.nn.sigmoid(flat[..., 4:]))
+        else:
+            for pred, anc in zip(preds, anchors):
+                decoded = decode_predictions(pred, anc, img_size)
+                flat = decoded.reshape(b, -1, 5 + nc)
+                boxes_all.append(flat[..., 0:4])
+                obj_all.append(jax.nn.sigmoid(flat[..., 4]))
+                cls_all.append(jax.nn.sigmoid(flat[..., 5:]))
+        boxes = jnp.concatenate(boxes_all, axis=1)
+        obj = jnp.concatenate(obj_all, axis=1)
+        cls = jnp.concatenate(cls_all, axis=1)
+        return jax.vmap(per_image)(boxes, obj, cls, scales, pad_tops,
+                                   pad_lefts)
+
+    return postprocess
+
+
 class Predictor:
     """Reusable single-image predictor (compiles once per config)."""
 
@@ -168,3 +250,55 @@ class Predictor:
 def predict(variables, cfg, image_path, conf_threshold=0.5, iou_threshold=0.4):
     """One-shot convenience mirroring the reference signature."""
     return Predictor(variables, cfg, conf_threshold, iou_threshold)(image_path)
+
+
+class BatchPredictor:
+    """Batched serving predictor over image files / PIL images."""
+
+    def __init__(self, variables, cfg: YoloConfig, conf_threshold=0.5,
+                 iou_threshold=0.4, max_outputs=300):
+        self.cfg = cfg
+        self.variables = variables
+        self.model = YOLO(cfg)
+        self._post = make_batch_postprocess(
+            self.model, cfg, conf_threshold, iou_threshold,
+            max_outputs=max_outputs,
+        )
+
+    def __call__(self, images):
+        """images: list of paths or PIL images. Returns a list (per image)
+        of [(x1, y1, x2, y2, conf, cls), ...] in original coordinates."""
+        from PIL import Image
+
+        imgs, scales, pts, pls = [], [], [], []
+        for image in images:
+            pil = (Image.open(image).convert("RGB")
+                   if not hasattr(image, "size") else image.convert("RGB"))
+            arr, scale, pad_top, pad_left = letterbox_image(
+                pil, self.cfg.img_size
+            )
+            imgs.append(arr.astype(np.float32) / 255.0)
+            scales.append(scale)
+            pts.append(pad_top)
+            pls.append(pad_left)
+
+        boxes, scores, classes, valid = jax.device_get(
+            self._post(
+                self.variables,
+                jnp.asarray(np.stack(imgs)),
+                jnp.asarray(scales, jnp.float32),
+                jnp.asarray(pts, jnp.float32),
+                jnp.asarray(pls, jnp.float32),
+            )
+        )
+        out = []
+        for b in range(len(images)):
+            dets = [
+                (float(bx[0]), float(bx[1]), float(bx[2]), float(bx[3]),
+                 float(s), int(c))
+                for bx, s, c, v in zip(boxes[b], scores[b], classes[b],
+                                       valid[b])
+                if v
+            ]
+            out.append(dets)
+        return out
