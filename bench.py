@@ -37,10 +37,11 @@ from yolo_from_scratch_tpu.train.steps import (
 )
 
 REFERENCE_CPU_TRAIN_IMG_S = 2.437  # BASELINE.md, measured in this container
-BATCH = 8
+BATCH = int(os.environ.get("BENCH_BATCH", 8))  # 8 = the reference workload
 IMG = 640
-TRAIN_STEPS = 20
-WARMUP = 3
+TRAIN_STEPS = 100  # measured steps (10 scanned dispatches of 10)
+WARMUP = 5  # warmup dispatches (x10 scanned steps) — the axon tunnel has a
+            # ~30-40-step slow warm phase before sustained throughput
 
 
 def log(*a):
@@ -101,16 +102,17 @@ def bench_train(cfg, batch=BATCH, chunk=10):
 
     for _ in range(WARMUP):
         state, metrics = train_steps(state, images, t3, t4, t5)
-    jax.block_until_ready(metrics["loss"])
+    float(metrics["loss"])  # hard sync — block_until_ready is unreliable
+    # through the axon tunnel (measured returning before completion)
 
     n_dispatch = max(TRAIN_STEPS // chunk, 2)
     t0 = time.perf_counter()
     for _ in range(n_dispatch):
         state, metrics = train_steps(state, images, t3, t4, t5)
-    jax.block_until_ready(metrics["loss"])
+    # reading the final loss VALUE forces the whole dependency chain
+    loss = float(metrics["loss"])
     dt = time.perf_counter() - t0
 
-    loss = float(metrics["loss"])
     assert np.isfinite(loss), f"non-finite loss in benchmark: {loss}"
     return batch * chunk * n_dispatch / dt
 
@@ -129,12 +131,12 @@ def bench_infer(cfg):
     img = jnp.asarray(rng.random((1, cfg.img_size, cfg.img_size, 3)),
                       jnp.float32)
     out = post(variables, img, 1.0, 0.0, 0.0)
-    jax.block_until_ready(out)
+    float(out[1][0])  # hard sync (see bench_train)
     times = []
     for _ in range(10):
         t0 = time.perf_counter()
         out = post(variables, img, 1.0, 0.0, 0.0)
-        jax.block_until_ready(out)
+        float(out[1][0])  # score readback forces the full pipeline
         times.append(time.perf_counter() - t0)
     return statistics.median(times)
 

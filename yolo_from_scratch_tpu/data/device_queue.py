@@ -1,0 +1,63 @@
+"""Double-buffered host->device input queue.
+
+The reference moves each batch to the device synchronously inside its
+train loop (reference: train.py:896-903). Here transfers are issued one
+batch AHEAD of consumption: while the device runs step N, batch N+1 is
+already in flight over PCIe/ICI (jax.device_put is asynchronous), so the
+transfer hides behind compute. Combined with the loader's background
+prefetch thread this gives the full pipeline:
+
+    decode+letterbox+targets (worker thread)
+      -> device_put (async, one batch ahead)
+        -> train_step (device)
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+
+from yolo_from_scratch_tpu.parallel.mesh import (
+    batch_sharding,
+    pad_batch_to_multiple,
+)
+
+
+class DeviceQueue:
+    """Iterate (images, targets, valid_count) already placed on device,
+    one batch ahead of the consumer. With a mesh, batches are padded to a
+    multiple of the mesh size and sharded on the `data` axis."""
+
+    def __init__(self, loader, mesh=None, device=None):
+        self.loader = loader
+        self.mesh = mesh
+        self.device = device
+
+    def _place(self, images, targets):
+        valid = images.shape[0]
+        if self.mesh is not None and self.mesh.size > 1:
+            images, _ = pad_batch_to_multiple(np.asarray(images),
+                                              self.mesh.size)
+            targets = [
+                pad_batch_to_multiple(np.asarray(t), self.mesh.size)[0]
+                for t in targets
+            ]
+            sh = batch_sharding(self.mesh)
+            return (jax.device_put(images, sh),
+                    [jax.device_put(t, sh) for t in targets], valid)
+        dev = self.device or jax.devices()[0]
+        return (jax.device_put(images, dev),
+                [jax.device_put(t, dev) for t in targets], valid)
+
+    def __len__(self):
+        return len(self.loader)
+
+    def __iter__(self):
+        pending = None
+        for images, targets in self.loader:
+            staged = self._place(images, targets)  # async transfer
+            if pending is not None:
+                yield pending
+            pending = staged
+        if pending is not None:
+            yield pending

@@ -19,38 +19,22 @@ from datetime import datetime
 import jax
 import numpy as np
 
-from yolo_from_scratch_tpu.parallel.mesh import (
-    batch_sharding,
-    pad_batch_to_multiple,
-)
+from yolo_from_scratch_tpu.data.device_queue import DeviceQueue
 from yolo_from_scratch_tpu.train.metrics import prf1
 from yolo_from_scratch_tpu.train.schedule import lr_at_epoch
 from yolo_from_scratch_tpu.train.steps import set_learning_rate
 from yolo_from_scratch_tpu.utils.checkpoint import save_checkpoint
 
 
-def _place(mesh, images, targets):
-    """Device placement; shards batch over the mesh if one is given.
-    Returns (images, targets, valid_count)."""
-    valid = images.shape[0]
-    if mesh is not None and mesh.size > 1:
-        images, _ = pad_batch_to_multiple(np.asarray(images), mesh.size)
-        targets = [pad_batch_to_multiple(np.asarray(t), mesh.size)[0] for t in targets]
-        sh = batch_sharding(mesh)
-        images = jax.device_put(images, sh)
-        targets = [jax.device_put(t, sh) for t in targets]
-    return images, targets, valid
-
-
 def train_epoch(train_step, state, loader, mesh=None):
     """One epoch. Returns (state, mean_total, mean_bbox, mean_obj, mean_cls,
-    images_seen, seconds)."""
+    images_seen, seconds). Batches stream through the double-buffered
+    DeviceQueue (transfers issued one step ahead)."""
     metrics_acc = []
     n_images = 0
     t0 = time.perf_counter()
-    for images, targets in loader:
-        n_images += images.shape[0]
-        images, targets, _ = _place(mesh, images, targets)
+    for images, targets, valid in DeviceQueue(loader, mesh):
+        n_images += valid
         state, metrics = train_step(state, images, targets)
         metrics_acc.append(metrics)
     # single host sync at epoch end
@@ -66,9 +50,7 @@ def eval_epoch(eval_step, params, batch_stats, loader, mesh=None):
     (reference: train.py:960-1032). Returns (loss, P%, R%, F1%)."""
     losses, tps, fps, fns = [], 0, 0, 0
     per_batch = []
-    for images, targets in loader:
-        valid = images.shape[0]
-        images, targets, _ = _place(mesh, images, targets)
+    for images, targets, valid in DeviceQueue(loader, mesh):
         loss, tp, fp, fn = eval_step(params, batch_stats, images, targets)
         per_batch.append((loss, tp, fp, fn, valid))
     for loss, tp, fp, fn, valid in per_batch:
