@@ -209,3 +209,34 @@ def test_loader_shuffle_deterministic_by_seed(dataset):
     b = [img.sum() for img, _ in DataLoader(dataset, 2, shuffle=True, seed=1,
                                             prefetch=0)]
     np.testing.assert_allclose(a, b)
+
+
+def test_loader_early_abandon_no_thread_leak(dataset):
+    import threading
+
+    before = threading.active_count()
+    for _ in range(3):
+        it = iter(DataLoader(dataset, batch_size=1, prefetch=2))
+        next(it)
+        del it  # abandon mid-iteration
+    import gc, time
+
+    gc.collect()
+    time.sleep(0.5)
+    # producer threads must have exited (allow slack for unrelated threads)
+    assert threading.active_count() <= before + 1
+
+
+def test_letterbox_device_staging_buffer():
+    """Content smaller than the staging buffer letterboxes by its REAL dims."""
+    import jax.numpy as jnp
+
+    from yolo_from_scratch_tpu.data.letterbox import letterbox_device
+
+    rng = np.random.default_rng(1)
+    buf = np.zeros((256, 256, 3), np.uint8)
+    content = (rng.random((50, 100, 3)) * 255).astype(np.uint8)
+    buf[:50, :100] = content
+    out = np.asarray(letterbox_device(jnp.asarray(buf), 100, 50, 128))
+    direct = np.asarray(letterbox_device(jnp.asarray(content), 100, 50, 128))
+    np.testing.assert_allclose(out, direct, atol=1e-6)

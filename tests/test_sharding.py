@@ -37,11 +37,12 @@ def test_mesh_shape(mesh):
 
 
 def test_pad_batch_to_multiple():
-    arr = np.ones((5, 3))
+    arr = np.arange(15).reshape(5, 3).astype(np.float32)
     padded, valid = pad_batch_to_multiple(arr, 8)
     assert padded.shape == (8, 3)
     assert valid == 5
-    assert padded[5:].sum() == 0
+    # padding repeats real rows (wrap-around), not zeros
+    np.testing.assert_array_equal(padded[5:], arr[:3])
     same, valid2 = pad_batch_to_multiple(np.ones((8, 3)), 8)
     assert same.shape == (8, 3) and valid2 == 8
 

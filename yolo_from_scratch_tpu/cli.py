@@ -223,27 +223,50 @@ def main(argv=None):
                 print(f"  F1 Score: {f1:.2f}%")
         else:
             # ----- Train mode -----
-            cfg = YoloConfig(
-                num_classes=num_classes,
-                img_size=args.img_size,
-                width_mult=size_cfg["width_mult"],
-                depth_mult=size_cfg["depth_mult"],
-                compute_dtype=args.dtype,
-                head_type=args.head,
-            )
+            start_epoch = 0
+            save_path = None
+            if args.resume:
+                # The checkpoint config (img_size, anchors, head_type, nc)
+                # governs model, loss, AND data pipeline — loaders are
+                # built from it below so resumed training can never feed a
+                # mismatched pipeline.
+                from yolo_from_scratch_tpu.train.loop import restore_train_state
+                from yolo_from_scratch_tpu.train.steps import make_optimizer
+
+                tx = make_optimizer(args.lr)
+                state, cfg_ckpt, start_epoch = restore_train_state(
+                    args.resume, tx
+                )
+                cfg = cfg_ckpt.with_(compute_dtype=args.dtype)
+                model = YOLO(cfg)
+                save_path = args.resume
+                print(f"Resuming from {args.resume} at epoch {start_epoch + 1}")
+            else:
+                cfg = YoloConfig(
+                    num_classes=num_classes,
+                    img_size=args.img_size,
+                    width_mult=size_cfg["width_mult"],
+                    depth_mult=size_cfg["depth_mult"],
+                    compute_dtype=args.dtype,
+                    head_type=args.head,
+                )
+                model, tx, state = create_train_state(
+                    jax.random.PRNGKey(args.seed), cfg, args.lr
+                )
+
             anchors = cfg.anchors_array
             train_loader = DataLoader(
-                YoloDataset(config["train"], num_classes, anchors, cfg.img_size,
-                            head_type=cfg.head_type),
+                YoloDataset(config["train"], cfg.num_classes, anchors,
+                            cfg.img_size, head_type=cfg.head_type),
                 batch_size=args.batch_size, shuffle=True, seed=args.seed,
             )
             val_loader = DataLoader(
-                YoloDataset(config["val"], num_classes, anchors, cfg.img_size,
-                            head_type=cfg.head_type),
+                YoloDataset(config["val"], cfg.num_classes, anchors,
+                            cfg.img_size, head_type=cfg.head_type),
                 batch_size=args.batch_size,
             )
             print("Training YOLO model")
-            print(f"Number of classes: {num_classes}")
+            print(f"Number of classes: {cfg.num_classes}")
             print(f"Training images: {len(train_loader.dataset)}")
             print(f"Validation images: {len(val_loader.dataset)}")
             print(f"Device: {jax.devices()[0].platform}")
@@ -253,21 +276,6 @@ def main(argv=None):
             print(f"  Warmup epochs: {args.warmup_epochs}")
             print(f"  Total epochs: {args.epochs}")
 
-            start_epoch = 0
-            save_path = None
-            model, tx, state = create_train_state(
-                jax.random.PRNGKey(args.seed), cfg, args.lr
-            )
-            if args.resume:
-                from yolo_from_scratch_tpu.train.loop import restore_train_state
-
-                state, cfg_ckpt, start_epoch = restore_train_state(
-                    args.resume, tx
-                )
-                cfg = cfg_ckpt.with_(compute_dtype=args.dtype)
-                model = YOLO(cfg)
-                save_path = args.resume
-                print(f"Resuming from {args.resume} at epoch {start_epoch + 1}")
             train_step = make_train_step(
                 model, tx, cfg, quirk_640=args.reference_quirks
             )

@@ -38,22 +38,28 @@ def letterbox_image(pil_img, target_size: int = 640, pad_color=PAD_COLOR):
     return np.asarray(canvas, dtype=np.uint8), scale, pad_top, pad_left
 
 
-def letterbox_device(img, orig_w, orig_h, target_size: int):
+def letterbox_device(img, orig_w: int, orig_h: int, target_size: int):
     """On-device letterbox for a single HWC uint8/float image.
 
-    Static output shape (target_size, target_size, 3) float32 in [0, 1].
-    Used inside jit by the input pipeline; matches host letterbox geometry
-    (same floor-int scale/pad math) with jax.image bilinear resampling.
+    `img` may be a fixed-shape staging buffer LARGER than the actual
+    content; `orig_w`/`orig_h` (static Python ints — one trace per source
+    geometry) give the real content dims in its top-left corner. Static
+    output shape (target_size, target_size, 3) float32 in [0, 1]; same
+    floor-int scale/pad math as the host letterbox, jax.image bilinear
+    resampling.
     """
     import jax
     import jax.numpy as jnp
 
-    h, w = img.shape[0], img.shape[1]
-    scale = min(target_size / w, target_size / h)
-    new_w, new_h = int(w * scale), int(h * scale)
-    pad_left = (target_size - new_w) // 2
-    pad_top = (target_size - new_h) // 2
-    x = img.astype(jnp.float32) / 255.0
+    orig_w, orig_h = int(orig_w), int(orig_h)
+    if orig_h > img.shape[0] or orig_w > img.shape[1]:
+        raise ValueError(
+            f"content dims ({orig_h}, {orig_w}) exceed buffer {img.shape[:2]}"
+        )
+    scale, pad_top, pad_left, new_w, new_h = letterbox_params(
+        orig_w, orig_h, target_size
+    )
+    x = img[:orig_h, :orig_w].astype(jnp.float32) / 255.0
     x = jax.image.resize(x, (new_h, new_w, 3), method="bilinear")
     pad_val = jnp.asarray([c / 255.0 for c in PAD_COLOR], jnp.float32)
     canvas = jnp.broadcast_to(pad_val, (target_size, target_size, 3))

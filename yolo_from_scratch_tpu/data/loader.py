@@ -68,19 +68,42 @@ class DataLoader:
 
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         _SENTINEL = object()
+        stop = threading.Event()
 
         def producer():
             try:
                 for indices in self._batch_indices():
-                    q.put(self._make_batch(indices))
+                    batch = self._make_batch(indices)
+                    # bounded put that aborts if the consumer went away, so
+                    # an abandoned iterator can't leave this thread blocked
+                    while not stop.is_set():
+                        try:
+                            q.put(batch, timeout=0.1)
+                            break
+                        except queue.Full:
+                            continue
+                    if stop.is_set():
+                        return
             finally:
-                q.put(_SENTINEL)
+                try:
+                    q.put_nowait(_SENTINEL)
+                except queue.Full:
+                    pass
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is _SENTINEL:
-                break
-            yield item
-        t.join()
+        try:
+            while True:
+                item = q.get()
+                if item is _SENTINEL:
+                    break
+                yield item
+        finally:
+            stop.set()
+            # drain so the producer's pending put can observe the stop flag
+            try:
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass
+            t.join(timeout=5.0)

@@ -54,7 +54,8 @@ def make_postprocess(model: YOLO, cfg: YoloConfig, conf_threshold=0.5,
     k = topk or default_topk(img_size, per_cell)
     max_out = max_outputs or k
     if use_pallas_nms is None:
-        use_pallas_nms = jax.devices()[0].platform not in ("cpu",)
+        # the Pallas kernel uses the Mosaic TPU lowering — TPU only
+        use_pallas_nms = jax.devices()[0].platform == "tpu"
     if use_pallas_nms:
         from yolo_from_scratch_tpu.ops.nms_pallas import (
             batched_nms_fixed_pallas as nms_fn,
@@ -140,14 +141,20 @@ def make_batch_postprocess(model: YOLO, cfg: YoloConfig, conf_threshold=0.5,
     suppression while_loop batches into a single device program. This is
     the high-throughput serving entry the reference lacks (its `predict`
     is strictly single-image, train.py:1114).
+
+    The batched path always uses the lax NMS (a vmapped `pallas_call` is
+    not supported); requesting `use_pallas_nms=True` is an error.
     """
     anchors = cfg.anchors_array
     img_size = cfg.img_size
     nc = cfg.num_classes
     per_cell = 1 if cfg.head_type == "anchor_free" else 3
     k = topk or default_topk(img_size, per_cell)
-    if use_pallas_nms is None:
-        use_pallas_nms = False  # vmapped pallas_call is not supported; lax path
+    if use_pallas_nms:
+        raise ValueError(
+            "batched postprocess cannot vmap the Pallas NMS kernel; "
+            "use the lax path (use_pallas_nms=False/None)"
+        )
 
     def per_image(flat_boxes, flat_obj, flat_cls, scale, pad_top, pad_left):
         if nc == 1 and cfg.head_type != "anchor_free":
@@ -248,7 +255,12 @@ class Predictor:
 
 
 def predict(variables, cfg, image_path, conf_threshold=0.5, iou_threshold=0.4):
-    """One-shot convenience mirroring the reference signature."""
+    """One-shot convenience mirroring the reference signature.
+
+    NOTE: builds (and jit-compiles) a fresh Predictor per call. For
+    repeated inference construct one `Predictor` (or `BatchPredictor`) and
+    reuse it — compilation is seconds on TPU.
+    """
     return Predictor(variables, cfg, conf_threshold, iou_threshold)(image_path)
 
 

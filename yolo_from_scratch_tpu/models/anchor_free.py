@@ -41,8 +41,11 @@ class DecoupledHead(nn.Module):
         box = ConvBNSiLU(self.channels, 3, dtype=self.dtype, name="box_conv2")(
             box, train
         )
+        from yolo_from_scratch_tpu.models.blocks import torch_bias_init_for
+
         box = nn.Conv(4, (1, 1), use_bias=True, dtype=self.dtype,
                       param_dtype=jnp.float32, kernel_init=torch_kernel_init,
+                      bias_init=torch_bias_init_for(box.shape[-1]),
                       name="box_pred")(box)
 
         cls = ConvBNSiLU(self.channels, 3, dtype=self.dtype, name="cls_conv1")(

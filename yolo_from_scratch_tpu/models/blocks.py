@@ -56,6 +56,7 @@ class ConvBNSiLU(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         pad = self.kernel // 2
+        fan_in = x.shape[-1] * self.kernel * self.kernel
         x = nn.Conv(
             self.features,
             (self.kernel, self.kernel),
@@ -65,6 +66,7 @@ class ConvBNSiLU(nn.Module):
             dtype=self.dtype,
             param_dtype=jnp.float32,
             kernel_init=torch_kernel_init,
+            bias_init=torch_bias_init_for(fan_in),
             name="conv",
         )(x)
         x = nn.BatchNorm(

@@ -179,13 +179,16 @@ FilterTaps build_triangle_taps(int src_size, int dst_size) {
 // reference: train.py:36-53: floor-int new dims, centered integer pads).
 void letterbox_into(const Image& img, int target, float* out, float* scale_out,
                     int* pad_top_out, int* pad_left_out) {
-  const float scale =
-      std::min(float(target) / img.w, float(target) / img.h);
+  // double precision: float32 scale produces off-by-one floor-int new
+  // dims vs the Python host path for ~3.5% of sizes (w*scale landing
+  // exactly on an integer in double)
+  const double scale =
+      std::min(double(target) / img.w, double(target) / img.h);
   const int new_w = int(img.w * scale);
   const int new_h = int(img.h * scale);
   const int pad_left = (target - new_w) / 2;
   const int pad_top = (target - new_h) / 2;
-  *scale_out = scale;
+  *scale_out = float(scale);
   *pad_top_out = pad_top;
   *pad_left_out = pad_left;
 

@@ -37,14 +37,23 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def pad_batch_to_multiple(arr: np.ndarray, multiple: int):
-    """Zero-pad the batch dim to a multiple of the mesh size so the batch
-    divides evenly across chips. Returns (padded, valid_count)."""
+    """Pad the batch dim to a multiple of the mesh size so the batch
+    divides evenly across chips, by REPEATING real rows (wrap-around).
+    Returns (padded, valid_count).
+
+    Repeating instead of zero-filling keeps padded rows statistically
+    real: gradients/BatchNorm stats on the final partial batch see
+    duplicated images rather than fabricated black ones (a zero image has
+    no objects but real background statistics do not look like zeros).
+    Loss means over a padded batch weight the duplicated rows twice —
+    only the final partial batch of an epoch is affected; eval counts are
+    exact because callers mask with `valid_count`."""
     b = arr.shape[0]
     rem = (-b) % multiple
     if rem == 0:
         return arr, b
-    pad = np.zeros((rem,) + arr.shape[1:], arr.dtype)
-    return np.concatenate([arr, pad], axis=0), b
+    reps = np.concatenate([arr] * ((rem + b - 1) // b + 1), axis=0)[: b + rem]
+    return reps, b
 
 
 def shard_batch(mesh: Mesh, images, targets):
