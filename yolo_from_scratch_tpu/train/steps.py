@@ -171,6 +171,55 @@ def make_train_step_multi(model: YOLO, tx, cfg: YoloConfig, quirk_640=False,
     return jax.jit(train_steps, donate_argnums=donate_argnums)
 
 
+def make_train_step_accum(model: YOLO, tx, cfg: YoloConfig, n_accum: int,
+                          quirk_640: bool = False, donate: bool = True):
+    """Gradient-accumulation trainer: ONE optimizer update from `n_accum`
+    micro-batches (mean of micro-batch gradients == the gradient of the
+    concatenated batch for mean-reduced losses, up to the per-batch masked
+    bbox/cls denominators).
+
+    (state, images (n_accum, B, S, S, 3), targets [(n_accum, B, ...)]x3)
+      -> (state, metrics averaged over micro-batches)
+
+    Use when the desired effective batch exceeds HBM at full resolution
+    (e.g. 1280² training) — activations only ever materialize for one
+    micro-batch (lax.scan), while the update sees the full batch.
+    """
+    loss_fn = _make_loss_fn(model, cfg, quirk_640)
+
+    def grads_one(params, batch_stats, images, targets):
+        (total, (new_bs, bbox, obj, cls)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params, batch_stats, images, targets)
+        return grads, new_bs, {"loss": total, "bbox": bbox, "obj": obj,
+                               "cls": cls}
+
+    def train_step(state: TrainState, images, t3, t4, t5):
+        zero_grads = jax.tree.map(jnp.zeros_like, state.params)
+
+        def body(carry, batch):
+            grads_acc, batch_stats = carry
+            imgs, a, b, c = batch
+            grads, new_bs, metrics = grads_one(
+                state.params, batch_stats, imgs, [a, b, c]
+            )
+            grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
+            return (grads_acc, new_bs), metrics
+
+        (grads_sum, new_bs), metrics = jax.lax.scan(
+            body, (zero_grads, state.batch_stats), (images, t3, t4, t5)
+        )
+        grads = jax.tree.map(lambda g: g / n_accum, grads_sum)
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(new_params, new_bs, new_opt_state,
+                               state.step + 1)
+        return new_state, jax.tree.map(jnp.mean, metrics)
+
+    donate_argnums = (0,) if donate else ()
+    return jax.jit(train_step, donate_argnums=donate_argnums)
+
+
 def make_eval_step(model: YOLO, cfg: YoloConfig, conf_threshold=0.5,
                    iou_threshold=0.5, quirk_640: bool = False):
     """Build the jitted eval step: loss + grid-aligned TP/FP/FN counts.
