@@ -39,6 +39,24 @@ def test_config4_1280_capacity_planning():
     assert targets[0][..., 4].sum() == 1.0  # tiny box lands on P3
 
 
+def test_config3_coco80_head_and_predict():
+    """BASELINE config 3: COCO-80 class count through model + NMS predict."""
+    from PIL import Image
+
+    from yolo_from_scratch_tpu.infer.predict import Predictor
+
+    cfg = YoloConfig(num_classes=80, img_size=96, width_mult=0.25)
+    model, variables = init_model(jax.random.PRNGKey(0), cfg)
+    outs = model.apply(variables, jnp.zeros((1, 96, 96, 3)), train=False)
+    assert outs[0].shape == (1, 12, 12, 3, 85)
+
+    rng = np.random.default_rng(0)
+    pil = Image.fromarray((rng.random((96, 96, 3)) * 255).astype(np.uint8))
+    dets = Predictor(variables, cfg, conf_threshold=1e-4)(pil)
+    for d in dets:
+        assert 0 <= d[5] < 80
+
+
 def test_jit_vs_eager_loss_parity(cfg, model_and_vars):
     """SURVEY.md §5.2: jit-vs-eager numerical parity on the loss path."""
     model, variables = model_and_vars
