@@ -100,6 +100,10 @@ def main():
     while True:
         path = images[idx]
         img = cv2.imread(path)
+        if img is None:  # unreadable/corrupt file: skip instead of crashing
+            print(f"WARNING: could not read {path}, skipping")
+            idx = (idx + 1) % len(images)
+            continue
         h, w = img.shape[:2]
         label_path = Path(path).parent.parent / "labels" / f"{Path(path).stem}.txt"
         gt = load_ground_truth(label_path, w, h)

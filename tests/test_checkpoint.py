@@ -68,3 +68,20 @@ def test_custom_anchors_roundtrip(tmp_path):
     _, cfg2, _ = load_checkpoint(p)
     np.testing.assert_array_equal(cfg2.anchors_array,
                                   np.asarray(anchors, np.float32))
+
+
+def test_checkpoint_write_is_atomic(tmp_path, cfg):
+    """save_checkpoint must not leave a truncated file if interrupted —
+    it writes to a temp file and os.replace()s. Verify the temp protocol:
+    after a successful save no .tmp remains and the file loads."""
+    import jax
+
+    from yolo_from_scratch_tpu.models.yolo import init_model
+
+    _, variables = init_model(jax.random.PRNGKey(0), cfg)
+    p = tmp_path / "atomic.ckpt"
+    save_checkpoint(p, jax.device_get(variables), cfg, epoch=1)
+    save_checkpoint(p, jax.device_get(variables), cfg, epoch=2)  # overwrite
+    assert not (tmp_path / "atomic.ckpt.tmp").exists()
+    _, _, meta = load_checkpoint(p)
+    assert meta["epoch"] == 2

@@ -240,3 +240,32 @@ def test_letterbox_device_staging_buffer():
     out = np.asarray(letterbox_device(jnp.asarray(buf), 100, 50, 128))
     direct = np.asarray(letterbox_device(jnp.asarray(content), 100, 50, 128))
     np.testing.assert_allclose(out, direct, atol=1e-6)
+
+
+def test_loader_slow_consumer_terminates(dataset):
+    """End-of-epoch sentinel must arrive even when the queue is full
+    (regression: sentinel was dropped with put_nowait, hanging the epoch)."""
+    import time
+
+    loader = DataLoader(dataset, batch_size=1, prefetch=1)
+    count = 0
+    for _ in loader:
+        time.sleep(0.15)  # consumer slower than producer -> queue stays full
+        count += 1
+    assert count == len(dataset)
+
+
+def test_loader_producer_exception_propagates(dataset, tmp_path):
+    """A corrupt image must raise in the consumer, not silently truncate
+    the epoch."""
+    import shutil
+
+    broken_dir = tmp_path / "images"
+    broken_dir.mkdir()
+    (tmp_path / "labels").mkdir()
+    shutil.copy(dataset.imgs[0], broken_dir / "ok.jpg")
+    (broken_dir / "zz_corrupt.jpg").write_bytes(b"\xff\xd8not a real jpeg")
+    ds = YoloDataset(str(broken_dir), 1, img_size=dataset.img_size,
+                     backend="pil")
+    with pytest.raises(Exception):
+        list(DataLoader(ds, batch_size=1, prefetch=2))

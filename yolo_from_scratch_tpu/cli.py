@@ -282,7 +282,7 @@ def main(argv=None):
             eval_step = make_eval_step(model, cfg, quirk_640=args.reference_quirks)
 
             state, save_path = fit(
-                model, tx, state, train_step, eval_step, train_loader,
+                state, train_step, eval_step, train_loader,
                 val_loader, cfg, epochs=args.epochs, initial_lr=args.lr,
                 min_lr=args.min_lr, warmup_epochs=args.warmup_epochs, mesh=mesh,
                 metrics_path=args.metrics_jsonl, start_epoch=start_epoch,

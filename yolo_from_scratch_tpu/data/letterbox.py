@@ -17,7 +17,10 @@ def letterbox_params(orig_w: int, orig_h: int, target_size: int):
     """Scale and padding used by the letterbox transform
     (reference: train.py:36-53)."""
     scale = min(target_size / orig_w, target_size / orig_h)
-    new_w, new_h = int(orig_w * scale), int(orig_h * scale)
+    # clamp to >=1px so extreme aspect ratios can't produce a zero-size
+    # resample (the reference would crash in PIL resize there)
+    new_w = max(1, int(orig_w * scale))
+    new_h = max(1, int(orig_h * scale))
     pad_left = (target_size - new_w) // 2
     pad_top = (target_size - new_h) // 2
     return scale, pad_top, pad_left, new_w, new_h

@@ -70,25 +70,28 @@ class DataLoader:
         _SENTINEL = object()
         stop = threading.Event()
 
+        def _put(item) -> bool:
+            """Bounded put that aborts if the consumer went away, so an
+            abandoned iterator can't leave this thread blocked forever."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
             try:
                 for indices in self._batch_indices():
-                    batch = self._make_batch(indices)
-                    # bounded put that aborts if the consumer went away, so
-                    # an abandoned iterator can't leave this thread blocked
-                    while not stop.is_set():
-                        try:
-                            q.put(batch, timeout=0.1)
-                            break
-                        except queue.Full:
-                            continue
-                    if stop.is_set():
+                    if not _put(self._make_batch(indices)):
                         return
-            finally:
-                try:
-                    q.put_nowait(_SENTINEL)
-                except queue.Full:
-                    pass
+            except BaseException as e:  # surface decode errors to consumer
+                _put(e)
+            else:
+                # the sentinel MUST eventually land (blocking put with
+                # stop-check) or the consumer would hang at epoch end
+                _put(_SENTINEL)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -97,6 +100,8 @@ class DataLoader:
                 item = q.get()
                 if item is _SENTINEL:
                     break
+                if isinstance(item, BaseException):
+                    raise item
                 yield item
         finally:
             stop.set()

@@ -184,8 +184,11 @@ void letterbox_into(const Image& img, int target, float* out, float* scale_out,
   // exactly on an integer in double)
   const double scale =
       std::min(double(target) / img.w, double(target) / img.h);
-  const int new_w = int(img.w * scale);
-  const int new_h = int(img.h * scale);
+  // clamp to >=1: extreme aspect ratios would otherwise produce a
+  // 0-wide/0-tall resample (division by zero in the tap builder) while
+  // still reporting a nonzero scale
+  const int new_w = std::max(1, int(img.w * scale));
+  const int new_h = std::max(1, int(img.h * scale));
   const int pad_left = (target - new_w) / 2;
   const int pad_top = (target - new_h) / 2;
   *scale_out = float(scale);

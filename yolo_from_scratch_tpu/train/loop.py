@@ -48,6 +48,18 @@ def train_epoch(train_step, state, loader, mesh=None):
 def eval_epoch(eval_step, params, batch_stats, loader, mesh=None):
     """Loss + grid-aligned P/R/F1 over a loader
     (reference: train.py:960-1032). Returns (loss, P%, R%, F1%)."""
+    # place params once — callers may pass raw numpy checkpoint arrays,
+    # which would otherwise re-upload the full model every batch
+    if mesh is not None and mesh.size > 1:
+        from yolo_from_scratch_tpu.parallel.mesh import replicated_sharding
+
+        sh = replicated_sharding(mesh)
+        params = jax.device_put(params, sh)
+        batch_stats = jax.device_put(batch_stats, sh)
+    else:
+        dev = jax.devices()[0]
+        params = jax.device_put(params, dev)
+        batch_stats = jax.device_put(batch_stats, dev)
     losses, tps, fps, fns = [], 0, 0, 0
     per_batch = []
     for images, targets, valid in DeviceQueue(loader, mesh):
@@ -67,8 +79,6 @@ def eval_epoch(eval_step, params, batch_stats, loader, mesh=None):
 
 
 def fit(
-    model,
-    tx,
     state,
     train_step,
     eval_step,

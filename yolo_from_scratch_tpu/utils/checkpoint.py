@@ -52,8 +52,17 @@ def save_checkpoint(
     if extra:
         payload["extra"] = extra
     blob = serialization.msgpack_serialize(payload)
-    with open(path, "wb") as f:
+    # atomic replace: fit() rewrites the same path every epoch (and --resume
+    # writes onto the file being resumed) — a crash mid-write must not
+    # destroy the only copy
+    import os
+
+    tmp = f"{path}.tmp"
+    with open(tmp, "wb") as f:
         f.write(blob)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
     return path
 
 
