@@ -1,0 +1,81 @@
+"""COCO-style mAP evaluator tests (hand-computable cases)."""
+
+import numpy as np
+import pytest
+
+from yolo_from_scratch_tpu.train.map_eval import (
+    average_precision,
+    coco_map,
+    evaluate_map,
+)
+
+
+def test_perfect_detections_ap_one():
+    gts = [[(0, 10, 10, 50, 50)], [(0, 20, 20, 80, 80)]]
+    dets = [[(10, 10, 50, 50, 0.9, 0)], [(20, 20, 80, 80, 0.8, 0)]]
+    mAP, aps = average_precision(dets, gts, 0.5, 1)
+    assert mAP == pytest.approx(1.0)
+
+
+def test_no_detections_ap_zero():
+    gts = [[(0, 10, 10, 50, 50)]]
+    dets = [[]]
+    mAP, _ = average_precision(dets, gts, 0.5, 1)
+    assert mAP == 0.0
+
+
+def test_false_positive_lowers_ap():
+    gts = [[(0, 10, 10, 50, 50)]]
+    # high-conf FP ranked above the TP
+    dets = [[(200, 200, 240, 240, 0.95, 0), (10, 10, 50, 50, 0.9, 0)]]
+    mAP, _ = average_precision(dets, gts, 0.5, 1)
+    assert 0.0 < mAP < 1.0
+
+
+def test_duplicate_detection_counts_once():
+    gts = [[(0, 10, 10, 50, 50)]]
+    dets = [[(10, 10, 50, 50, 0.9, 0), (11, 11, 51, 51, 0.8, 0)]]
+    mAP, _ = average_precision(dets, gts, 0.5, 1)
+    # second detection of the same GT is an FP; AP stays 1.0 at the 101-pt
+    # interpolation since the TP is ranked first (precision envelope)
+    assert mAP == pytest.approx(1.0)
+
+
+def test_wrong_class_not_matched():
+    gts = [[(1, 10, 10, 50, 50)]]
+    dets = [[(10, 10, 50, 50, 0.9, 0)]]  # predicted class 0, GT class 1
+    mAP, aps = average_precision(dets, gts, 0.5, 2)
+    assert mAP == 0.0
+    assert 1 in aps and aps[1] == 0.0
+    assert 0 not in aps  # class 0 has no GT -> skipped
+
+
+def test_map_strict_iou_lower():
+    gts = [[(0, 10, 10, 50, 50)]]
+    dets = [[(14, 14, 54, 54, 0.9, 0)]]  # IoU ~0.68
+    m_50, _ = average_precision(dets, gts, 0.5, 1)
+    m_75, _ = average_precision(dets, gts, 0.75, 1)
+    assert m_50 == pytest.approx(1.0)
+    assert m_75 == 0.0
+
+
+def test_coco_map_structure():
+    gts = [[(0, 10, 10, 50, 50)]]
+    dets = [[(10, 10, 50, 50, 0.9, 0)]]
+    out = coco_map(dets, gts, 1)
+    assert out["map50"] == pytest.approx(1.0)
+    assert out["map"] == pytest.approx(1.0)  # exact boxes match at all IoUs
+    assert out["per_class_ap50"][0] == pytest.approx(1.0)
+
+
+def test_evaluate_map_over_dataset(cfg, model_and_vars, temp_dataset_dir):
+    from yolo_from_scratch_tpu.data.dataset import YoloDataset
+    from yolo_from_scratch_tpu.infer.predict import Predictor
+
+    _, variables = model_and_vars
+    ds = YoloDataset(str(temp_dataset_dir / "val" / "images"), 1,
+                     img_size=cfg.img_size)
+    predictor = Predictor(variables, cfg, conf_threshold=1e-3)
+    out = evaluate_map(predictor, ds, max_images=2, num_classes=1)
+    assert 0.0 <= out["map50"] <= 1.0
+    assert 0.0 <= out["map"] <= out["map50"] + 1e-9

@@ -80,6 +80,11 @@ def build_parser():
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--metrics-jsonl", type=str, default=None,
                         help="Write per-epoch structured metrics to this JSONL file")
+    parser.add_argument("--map", action="store_true",
+                        help="Eval mode: additionally compute COCO-style "
+                             "mAP@0.5 and mAP@[.5:.95] over the NMS "
+                             "inference path (beyond the reference's "
+                             "grid-aligned P/R/F1)")
     parser.add_argument("--resume", type=str, default=None, metavar="CKPT",
                         help="Resume training from a checkpoint (restores "
                              "params, optimizer state, and epoch — the "
@@ -212,15 +217,26 @@ def main(argv=None):
                 batch_size=args.batch_size,
             )
             for title, split in (("Training", "train"), ("Validation", "val")):
+                loader = mk_loader(split)
                 loss, p, r, f1 = eval_epoch(
                     eval_step, variables["params"], variables["batch_stats"],
-                    mk_loader(split), mesh,
+                    loader, mesh,
                 )
                 print(f"\n{title} Set:")
                 print(f"  Loss: {loss:.4f}")
                 print(f"  Precision: {p:.2f}%")
                 print(f"  Recall: {r:.2f}%")
                 print(f"  F1 Score: {f1:.2f}%")
+                if args.map:
+                    from yolo_from_scratch_tpu.train.map_eval import (
+                        evaluate_map,
+                    )
+
+                    predictor = Predictor(variables, cfg, conf_threshold=0.25)
+                    m = evaluate_map(predictor, loader.dataset,
+                                     num_classes=cfg.num_classes)
+                    print(f"  mAP@0.5: {m['map50'] * 100:.2f}%")
+                    print(f"  mAP@[.5:.95]: {m['map'] * 100:.2f}%")
         else:
             # ----- Train mode -----
             start_epoch = 0

@@ -1,0 +1,159 @@
+"""COCO-style mAP evaluation over the NMS inference path.
+
+The reference only reports grid-aligned P/R/F1 (reference:
+train.py:960-1032), which we reproduce exactly for parity
+(train/metrics.py). This module adds the standard detector metric the
+reference lacks: AP per class at configurable IoU thresholds
+(AP@0.5, mAP@[.5:.95]) computed from ranked NMS detections with greedy
+per-image GT matching and 101-point interpolation (COCO convention).
+
+Host-side numpy: runs over the Predictor/BatchPredictor outputs; not a
+performance path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _iou_corner(a, b):
+    """a (4,) vs b (N, 4) corner boxes -> (N,) IoU."""
+    ix1 = np.maximum(a[0], b[:, 0])
+    iy1 = np.maximum(a[1], b[:, 1])
+    ix2 = np.minimum(a[2], b[:, 2])
+    iy2 = np.minimum(a[3], b[:, 3])
+    inter = np.clip(ix2 - ix1, 0, None) * np.clip(iy2 - iy1, 0, None)
+    area_a = (a[2] - a[0]) * (a[3] - a[1])
+    area_b = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+    return inter / (area_a + area_b - inter + 1e-9)
+
+
+def _average_precision(recall, precision):
+    """101-point interpolated AP (COCO convention)."""
+    if len(recall) == 0 or recall.max() <= 0.0:
+        return 0.0  # no true positive anywhere
+    max_recall = float(recall.max())
+    recall = np.concatenate([[0.0], recall])
+    precision = np.concatenate([[1.0], precision])
+    # precision envelope
+    precision = np.maximum.accumulate(precision[::-1])[::-1]
+    # COCO takes the MAX precision at each recall level: with duplicate
+    # recall values keep the first occurrence (the envelope is
+    # non-increasing, so the first is the max)
+    recall, first = np.unique(recall, return_index=True)
+    precision = precision[first]
+    points = np.linspace(0, 1, 101)
+    interp = np.interp(points, recall, precision)
+    interp[points > max_recall + 1e-12] = 0.0  # unreachable recall -> 0
+    return float(np.mean(interp))
+
+
+def average_precision(detections, ground_truths, iou_threshold=0.5,
+                      num_classes=1):
+    """AP per class + mAP at one IoU threshold.
+
+    Args:
+        detections: list (per image) of [(x1, y1, x2, y2, conf, cls), ...]
+            — the Predictor output format.
+        ground_truths: list (per image) of [(cls, x1, y1, x2, y2), ...].
+        iou_threshold: match threshold.
+
+    Returns:
+        (mAP, {class_id: AP}) — classes with no GT anywhere are skipped.
+    """
+    aps = {}
+    for c in range(num_classes):
+        # flatten detections of class c with image ids, ranked by conf
+        rows = []
+        for img_id, dets in enumerate(detections):
+            for d in dets:
+                if int(d[5]) == c:
+                    rows.append((float(d[4]), img_id, np.asarray(d[:4])))
+        rows.sort(key=lambda r: -r[0])
+
+        gt_per_img = []
+        total_gt = 0
+        for gts in ground_truths:
+            boxes = np.asarray(
+                [g[1:5] for g in gts if int(g[0]) == c], np.float32
+            ).reshape(-1, 4)
+            gt_per_img.append({"boxes": boxes,
+                               "used": np.zeros(len(boxes), bool)})
+            total_gt += len(boxes)
+        if total_gt == 0:
+            continue  # class absent from GT: skipped (COCO convention)
+
+        tp = np.zeros(len(rows))
+        fp = np.zeros(len(rows))
+        for i, (conf, img_id, box) in enumerate(rows):
+            gt = gt_per_img[img_id]
+            if len(gt["boxes"]) == 0:
+                fp[i] = 1
+                continue
+            ious = _iou_corner(box, gt["boxes"])
+            j = int(np.argmax(ious))
+            if ious[j] >= iou_threshold and not gt["used"][j]:
+                tp[i] = 1
+                gt["used"][j] = True
+            else:
+                fp[i] = 1
+
+        cum_tp = np.cumsum(tp)
+        cum_fp = np.cumsum(fp)
+        recall = cum_tp / total_gt
+        precision = cum_tp / np.maximum(cum_tp + cum_fp, 1e-9)
+        aps[c] = _average_precision(recall, precision)
+
+    mAP = float(np.mean(list(aps.values()))) if aps else 0.0
+    return mAP, aps
+
+
+def coco_map(detections, ground_truths, num_classes=1,
+             iou_thresholds=None):
+    """mAP averaged over IoU thresholds .5:.05:.95 (COCO), plus AP@0.5.
+
+    Returns dict with 'map50', 'map' (mAP@[.5:.95]), 'per_class_ap50'.
+    """
+    if iou_thresholds is None:
+        iou_thresholds = np.arange(0.5, 0.96, 0.05)
+    map50, per_class = average_precision(
+        detections, ground_truths, 0.5, num_classes
+    )
+    maps = [
+        average_precision(detections, ground_truths, float(t), num_classes)[0]
+        for t in iou_thresholds
+    ]
+    return {
+        "map50": map50,
+        "map": float(np.mean(maps)),
+        "per_class_ap50": per_class,
+    }
+
+
+def evaluate_map(predictor, dataset, max_images=None, num_classes=1):
+    """Run the NMS predictor over a YoloDataset's images and compute mAP.
+
+    Ground truth is read from the dataset's label files in ORIGINAL image
+    coordinates (the predictor outputs original coords, so no letterbox
+    mapping is needed).
+    """
+    from PIL import Image
+
+    from yolo_from_scratch_tpu.data.dataset import parse_label_file
+
+    detections, gts = [], []
+    n = len(dataset) if max_images is None else min(max_images, len(dataset))
+    for i in range(n):
+        detections.append(predictor(dataset.imgs[i]))
+        with Image.open(dataset.imgs[i]) as im:
+            w, h = im.size
+        rows = parse_label_file(dataset.labels[i])
+        gt = []
+        for cls, cx, cy, bw, bh in rows:
+            gt.append((
+                int(cls),
+                (cx - bw / 2) * w, (cy - bh / 2) * h,
+                (cx + bw / 2) * w, (cy + bh / 2) * h,
+            ))
+        gts.append(gt)
+    return coco_map(detections, gts, num_classes)
