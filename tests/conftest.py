@@ -15,6 +15,10 @@ import os
 os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
 if "host_platform_device_count" not in os.environ["XLA_FLAGS"]:
     os.environ["XLA_FLAGS"] += " --xla_force_host_platform_device_count=8"
+# NOTE: --xla_backend_optimization_level=0 was tried here to cut compile
+# time; it halves compile-bound tests but slows execution-bound ones (the
+# scanned-multi-step convergence test regressed 4x), so it is applied only
+# to the compile-dominated CLI subprocess tests (test_cli.run_cli).
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_test_cache")
 
 import jax

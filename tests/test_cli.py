@@ -15,6 +15,7 @@ def run_cli(args, cwd=None, timeout=420):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env["PALLAS_AXON_POOL_IPS"] = ""  # disable the axon TPU plugin
+    env["XLA_FLAGS"] = "--xla_backend_optimization_level=0"  # compile speed
     env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_test_cache")
     return subprocess.run(
         [sys.executable, str(REPO_ROOT / "train.py")] + args,
