@@ -63,3 +63,39 @@ def test_ema_inside_jit_with_train_step(cfg):
     p_old = jax.tree.leaves(state.params)[0]
     assert not np.allclose(np.asarray(e_new), np.asarray(p_old))
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_fit_with_ema_saves_averaged_params(cfg, temp_dataset_dir, tmp_path):
+    """fit(use_ema=True) must checkpoint the EMA params, which differ from
+    the raw trained params after a high-LR epoch."""
+    import jax
+
+    from yolo_from_scratch_tpu.data.dataset import YoloDataset
+    from yolo_from_scratch_tpu.data.loader import DataLoader
+    from yolo_from_scratch_tpu.train.loop import fit
+    from yolo_from_scratch_tpu.train.steps import (
+        create_train_state,
+        make_eval_step,
+        make_train_step,
+    )
+    from yolo_from_scratch_tpu.utils.checkpoint import load_checkpoint
+
+    ds = YoloDataset(str(temp_dataset_dir / "train" / "images"), 1,
+                     img_size=cfg.img_size)
+    loader = DataLoader(ds, batch_size=5, prefetch=0)
+    model, tx, state = create_train_state(jax.random.PRNGKey(0), cfg, 1e-2)
+    step = make_train_step(model, tx, cfg, donate=False)
+    eval_step = make_eval_step(model, cfg)
+    p = tmp_path / "ema.ckpt"
+    state, _ = fit(
+        state, step, eval_step, loader, loader, cfg, epochs=1,
+        initial_lr=1e-2, warmup_epochs=0, save_path=str(p), use_ema=True,
+        ema_decay=0.99, log=lambda *a: None,
+    )
+    variables, _, _ = load_checkpoint(p)
+    raw = jax.tree.leaves(jax.device_get(state.params))
+    saved = jax.tree.leaves(variables["params"])
+    diffs = sum(
+        not np.allclose(np.asarray(a), np.asarray(b)) for a, b in zip(raw, saved)
+    )
+    assert diffs > 0  # checkpoint holds the EMA, not the raw weights

@@ -80,6 +80,9 @@ def build_parser():
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--metrics-jsonl", type=str, default=None,
                         help="Write per-epoch structured metrics to this JSONL file")
+    parser.add_argument("--ema", action="store_true",
+                        help="Maintain an EMA of the weights; eval and "
+                             "checkpoints use the averaged params")
     parser.add_argument("--map", action="store_true",
                         help="Eval mode: additionally compute COCO-style "
                              "mAP@0.5 and mAP@[.5:.95] over the NMS "
@@ -302,7 +305,7 @@ def main(argv=None):
                 val_loader, cfg, epochs=args.epochs, initial_lr=args.lr,
                 min_lr=args.min_lr, warmup_epochs=args.warmup_epochs, mesh=mesh,
                 metrics_path=args.metrics_jsonl, start_epoch=start_epoch,
-                save_path=save_path,
+                save_path=save_path, use_ema=args.ema,
             )
             print(f"\nTraining complete. Model saved to {save_path}")
     else:

@@ -95,13 +95,17 @@ def fit(
     metrics_path=None,
     start_epoch=0,
     save_opt_state=True,
+    use_ema=False,
+    ema_decay=0.9999,
 ):
     """Full training driver (reference: train.py:1520-1545): per-epoch
     train + eval + checkpoint + LR step. Returns (state, save_path).
 
     Beyond the reference: checkpoints carry the optimizer state and epoch,
-    and `start_epoch` resumes mid-schedule (the reference always restarts
-    from scratch — SURVEY.md §5.3).
+    `start_epoch` resumes mid-schedule (the reference always restarts from
+    scratch — SURVEY.md §5.3), and `use_ema` maintains an exponential
+    moving average of the weights — eval and the saved checkpoint then use
+    the EMA params (YOLOv5 practice).
 
     `metrics_path`: optional JSONL file receiving one structured record per
     epoch (SURVEY.md §5.5)."""
@@ -112,15 +116,34 @@ def fit(
         save_path = f"yolo_{timestamp}.ckpt"
     metrics_logger = MetricsLogger(metrics_path)
 
+    ema_params = None
+    stepped = train_step
+    if use_ema:
+        from yolo_from_scratch_tpu.train.ema import (
+            ema_init,
+            wrap_train_step_with_ema,
+        )
+
+        ema_params = ema_init(state.params)
+        stepped = jax.jit(wrap_train_step_with_ema(train_step, decay=ema_decay))
+
     for epoch in range(start_epoch, epochs):
         lr = lr_at_epoch(epoch, warmup_epochs, epochs, initial_lr, min_lr)
         state = set_learning_rate(state, lr)
 
-        state, loss, bbox, obj, cls, n_imgs, dt = train_epoch(
-            train_step, state, train_loader, mesh
-        )
+        if use_ema:
+            carry = (state, ema_params)
+            carry, loss, bbox, obj, cls, n_imgs, dt = train_epoch(
+                stepped, carry, train_loader, mesh
+            )
+            state, ema_params = carry
+        else:
+            state, loss, bbox, obj, cls, n_imgs, dt = train_epoch(
+                train_step, state, train_loader, mesh
+            )
+        eval_params = ema_params if use_ema else state.params
         val_loss, val_p, val_r, val_f1 = eval_epoch(
-            eval_step, state.params, state.batch_stats, val_loader, mesh
+            eval_step, eval_params, state.batch_stats, val_loader, mesh
         )
 
         log(
@@ -138,7 +161,7 @@ def fit(
 
         save_checkpoint(
             save_path,
-            {"params": jax.device_get(state.params),
+            {"params": jax.device_get(eval_params),
              "batch_stats": jax.device_get(state.batch_stats)},
             cfg,
             epoch=epoch,
