@@ -269,3 +269,50 @@ def test_loader_producer_exception_propagates(dataset, tmp_path):
                      backend="pil")
     with pytest.raises(Exception):
         list(DataLoader(ds, batch_size=1, prefetch=2))
+
+
+# ---------------- augmentation ----------------
+
+
+def test_augment_flip_mirrors_boxes():
+    from yolo_from_scratch_tpu.data.dataset import augment_image_and_boxes
+
+    img = np.zeros((8, 8, 3), np.float32)
+    img[:, 0] = 1.0  # bright left column
+    boxes = np.array([[0.2, 0.5, 0.1, 0.1]], np.float32)
+
+    class FlipRng:  # force the flip branch, no jitter
+        def random(self):
+            return 0.0
+
+        def uniform(self, a, b):
+            return 1.0 if a < 1.0 < b else 0.0
+
+    out_img, out_boxes = augment_image_and_boxes(img, boxes, FlipRng())
+    assert out_img[:, -1].sum() > 0  # bright column moved to the right
+    assert out_boxes[0, 0] == pytest.approx(0.8)
+    assert out_boxes[0, 1] == pytest.approx(0.5)  # y untouched
+
+
+def test_augment_dataset_targets_consistent(temp_dataset_dir, img_size):
+    """Augmented samples still produce valid dense targets (boxes stay in
+    range, objects stay assigned)."""
+    ds = YoloDataset(str(temp_dataset_dir / "train" / "images"), 1,
+                     img_size=img_size, augment=True, seed=3)
+    for idx in range(len(ds)):
+        img, targets = ds[idx]
+        assert 0.0 <= img.min() and img.max() <= 1.0
+        total = sum(t[..., 4].sum() for t in targets)
+        assert total >= 1
+        for t in targets:
+            assigned = t[t[..., 4] == 1.0]
+            if len(assigned):
+                assert (assigned[:, 0] >= 0).all() and (assigned[:, 0] <= 1).all()
+
+
+def test_augment_off_is_deterministic(temp_dataset_dir, img_size):
+    a = YoloDataset(str(temp_dataset_dir / "train" / "images"), 1,
+                    img_size=img_size)[0][0]
+    b = YoloDataset(str(temp_dataset_dir / "train" / "images"), 1,
+                    img_size=img_size)[0][0]
+    np.testing.assert_array_equal(a, b)

@@ -80,6 +80,9 @@ def build_parser():
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--metrics-jsonl", type=str, default=None,
                         help="Write per-epoch structured metrics to this JSONL file")
+    parser.add_argument("--augment", action="store_true",
+                        help="Training-time hflip + color jitter (the "
+                             "reference has no augmentation)")
     parser.add_argument("--ema", action="store_true",
                         help="Maintain an EMA of the weights; eval and "
                              "checkpoints use the averaged params")
@@ -276,7 +279,8 @@ def main(argv=None):
             anchors = cfg.anchors_array
             train_loader = DataLoader(
                 YoloDataset(config["train"], cfg.num_classes, anchors,
-                            cfg.img_size, head_type=cfg.head_type),
+                            cfg.img_size, head_type=cfg.head_type,
+                            augment=args.augment, seed=args.seed),
                 batch_size=args.batch_size, shuffle=True, seed=args.seed,
             )
             val_loader = DataLoader(

@@ -117,6 +117,28 @@ def assign_targets(
     return targets
 
 
+def augment_image_and_boxes(img, boxes, rng):
+    """Training-time augmentation (not in the reference — gated off by
+    default): horizontal flip (p=0.5) + brightness/contrast jitter.
+
+    Args:
+        img: (S, S, 3) float32 in [0, 1] (letterboxed).
+        boxes: (N, 4) normalized [cx, cy, w, h] in letterboxed coords.
+        rng: np.random.Generator.
+
+    Returns (img, boxes), possibly modified copies.
+    """
+    if rng.random() < 0.5:
+        img = img[:, ::-1].copy()
+        if len(boxes):
+            boxes = boxes.copy()
+            boxes[:, 0] = 1.0 - boxes[:, 0]
+    gain = rng.uniform(0.7, 1.3)
+    bias = rng.uniform(-0.08, 0.08)
+    img = np.clip(img * gain + bias, 0.0, 1.0).astype(np.float32)
+    return img, boxes
+
+
 class YoloDataset:
     """Filesystem YOLO dataset: images dir + sibling labels dir.
 
@@ -125,10 +147,13 @@ class YoloDataset:
     decode+letterbox), or 'auto' (native when built, else PIL). The native
     bilinear filter differs from PIL's by <1 LSB on typical photos when
     resizing; use 'pil' for bit-parity runs.
+
+    `augment`: enable hflip + color jitter at load time (default off —
+    the reference has no augmentation).
     """
 
     def __init__(self, img_dir, num_classes=1, anchors=None, img_size=640,
-                 backend="auto", head_type="anchor"):
+                 backend="auto", head_type="anchor", augment=False, seed=0):
         self.imgs = sorted(
             glob.glob(f"{img_dir}/*.jpg") + glob.glob(f"{img_dir}/*.png")
         )
@@ -148,6 +173,8 @@ class YoloDataset:
             backend = "native" if native.available() else "pil"
         self.backend = backend
         self.head_type = head_type
+        self.augment = augment
+        self._aug_rng = np.random.default_rng(seed)
 
     def _assign(self, boxes, class_ids):
         if self.head_type == "anchor_free":
@@ -178,15 +205,16 @@ class YoloDataset:
         boxes = adjust_boxes_for_letterbox(
             rows[:, 1:5], orig_w, orig_h, scale, pad_top, pad_left, self.img_size
         )
+        if self.augment:
+            img, boxes = augment_image_and_boxes(img, boxes, self._aug_rng)
         targets = self._assign(boxes, rows[:, 0].astype(np.int64))
         return img, targets
 
-    def _targets_for(self, idx, scale, pad_top, pad_left):
-        """Dense targets for image idx given its letterbox geometry. A
-        failed decode (scale == 0) yields empty targets."""
+    def _boxes_for(self, idx, scale, pad_top, pad_left):
+        """Letterboxed boxes + class ids for image idx given its letterbox
+        geometry. A failed decode (scale == 0) yields no boxes."""
         if scale <= 0:
-            return self._assign(np.zeros((0, 4), np.float32),
-                                np.zeros(0, np.int64))
+            return np.zeros((0, 4), np.float32), np.zeros(0, np.int64)
         rows = parse_label_file(self.labels[idx])
         from PIL import Image  # geometry needs original dims; read header only
 
@@ -196,7 +224,7 @@ class YoloDataset:
             rows[:, 1:5], orig_w, orig_h, scale, pad_top, pad_left,
             self.img_size,
         )
-        return self._assign(boxes, rows[:, 0].astype(np.int64))
+        return boxes, rows[:, 0].astype(np.int64)
 
     def load_batch(self, indices, n_threads=4):
         """Batch fast path: native threaded decode+letterbox when enabled,
@@ -217,11 +245,16 @@ class YoloDataset:
         images, scales, pad_tops, pad_lefts, _ = native.decode_letterbox_batch(
             paths, self.img_size, n_threads=n_threads
         )
-        tgts = [
-            self._targets_for(i, float(scales[k]), int(pad_tops[k]),
-                              int(pad_lefts[k]))
-            for k, i in enumerate(indices)
-        ]
+        tgts = []
+        for k, i in enumerate(indices):
+            boxes, class_ids = self._boxes_for(
+                i, float(scales[k]), int(pad_tops[k]), int(pad_lefts[k])
+            )
+            if self.augment:
+                images[k], boxes = augment_image_and_boxes(
+                    images[k], boxes, self._aug_rng
+                )
+            tgts.append(self._assign(boxes, class_ids))
         targets = [
             np.stack([t[s] for t in tgts]).astype(np.float32) for s in range(3)
         ]
