@@ -18,8 +18,6 @@ import glob
 import sys
 from pathlib import Path
 
-import numpy as np
-
 from yolo_from_scratch_tpu.infer.predict import Predictor
 from yolo_from_scratch_tpu.utils.checkpoint import load_checkpoint
 from yolo_from_scratch_tpu.utils.yaml_cfg import load_dataset_yaml

@@ -68,6 +68,21 @@ def model_and_vars(cfg):
 
 
 @pytest.fixture(scope="session")
+def shared_train_setup(cfg):
+    """One compiled nano@TEST_IMG_SIZE train step (batch 2) shared by the
+    resume/multistep/grad-accum modules — jit compiles dominate suite time
+    on this 1-core host, so modules standardize on batch 2 and reuse this."""
+    from yolo_from_scratch_tpu.train.steps import (
+        create_train_state,
+        make_train_step,
+    )
+
+    model, tx, state0 = create_train_state(jax.random.PRNGKey(0), cfg, 1e-3)
+    step = make_train_step(model, tx, cfg, donate=False)
+    return model, tx, state0, step
+
+
+@pytest.fixture(scope="session")
 def default_anchors():
     from yolo_from_scratch_tpu.config import DEFAULT_ANCHORS
 

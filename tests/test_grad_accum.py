@@ -14,12 +14,11 @@ from yolo_from_scratch_tpu.train.steps import (
 )
 
 
-def test_accum_grads_match_big_batch(cfg):
+def test_accum_grads_match_big_batch(cfg, shared_train_setup):
     """With identical micro-batches, accumulated update == single-batch
     update (denominators are equal across micro-batches)."""
-    model, tx, state = create_train_state(jax.random.PRNGKey(0), cfg, 1e-3)
+    model, tx, state, single = shared_train_setup
     state = set_learning_rate(state, 1e-3)
-    single = make_train_step(model, tx, cfg, donate=False)
     accum = make_train_step_accum(model, tx, cfg, n_accum=2, donate=False)
 
     rng = np.random.default_rng(0)

@@ -14,10 +14,9 @@ from yolo_from_scratch_tpu.train.steps import (
 )
 
 
-def test_multi_step_matches_sequential(cfg):
-    model, tx, state0 = create_train_state(jax.random.PRNGKey(0), cfg, 1e-3)
+def test_multi_step_matches_sequential(cfg, shared_train_setup):
+    model, tx, state0, single = shared_train_setup
     state0 = set_learning_rate(state0, 1e-3)
-    single = make_train_step(model, tx, cfg, donate=False)
     multi = make_train_step_multi(model, tx, cfg, donate=False)
 
     rng = np.random.default_rng(0)

@@ -16,9 +16,9 @@ from yolo_from_scratch_tpu.train.steps import (
 from yolo_from_scratch_tpu.utils.checkpoint import save_checkpoint
 
 
-def test_resume_restores_params_opt_state_epoch(cfg, tmp_path):
-    model, tx, state = create_train_state(jax.random.PRNGKey(0), cfg, 1e-3)
-    train_step = make_train_step(model, tx, cfg, donate=False)
+def test_resume_restores_params_opt_state_epoch(cfg, tmp_path,
+                                                shared_train_setup):
+    model, tx, state, train_step = shared_train_setup
     state = set_learning_rate(state, 1e-3)
 
     rng = np.random.default_rng(0)
@@ -49,10 +49,10 @@ def test_resume_restores_params_opt_state_epoch(cfg, tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
-def test_resumed_step_matches_uninterrupted(cfg, tmp_path):
+def test_resumed_step_matches_uninterrupted(cfg, tmp_path,
+                                             shared_train_setup):
     """step; save; restore; step == two uninterrupted steps."""
-    model, tx, state = create_train_state(jax.random.PRNGKey(1), cfg, 1e-3)
-    train_step = make_train_step(model, tx, cfg, donate=False)
+    model, tx, state, train_step = shared_train_setup
     state = set_learning_rate(state, 1e-3)
     rng = np.random.default_rng(1)
     images = jnp.asarray(rng.random((2, cfg.img_size, cfg.img_size, 3)),

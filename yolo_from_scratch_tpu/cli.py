@@ -27,7 +27,7 @@ from yolo_from_scratch_tpu.config import YOLO_SIZES, YoloConfig
 from yolo_from_scratch_tpu.data.dataset import YoloDataset
 from yolo_from_scratch_tpu.data.loader import DataLoader
 from yolo_from_scratch_tpu.infer.predict import Predictor
-from yolo_from_scratch_tpu.models.yolo import YOLO, count_params
+from yolo_from_scratch_tpu.models.yolo import YOLO
 from yolo_from_scratch_tpu.train.loop import eval_epoch, fit
 from yolo_from_scratch_tpu.train.steps import (
     create_train_state,

@@ -7,7 +7,7 @@ Mirrors the reference's hyperparameter surface (reference: train.py:336-397,
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Sequence
+from typing import Any
 
 import numpy as np
 

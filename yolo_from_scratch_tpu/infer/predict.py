@@ -16,8 +16,6 @@ crosses back to the host.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -23,7 +23,6 @@ import numpy as np
 from flax import linen as nn
 
 from yolo_from_scratch_tpu.models.blocks import ConvBNSiLU, torch_kernel_init
-from yolo_from_scratch_tpu.models.yolo import _head_bias_init
 
 
 class DecoupledHead(nn.Module):

@@ -14,7 +14,6 @@ partitioner inserts the gradient all-reduce over ICI automatically.
 
 from __future__ import annotations
 
-import functools
 from typing import Any
 
 import jax
