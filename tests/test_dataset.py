@@ -316,3 +316,67 @@ def test_augment_off_is_deterministic(temp_dataset_dir, img_size):
     b = YoloDataset(str(temp_dataset_dir / "train" / "images"), 1,
                     img_size=img_size)[0][0]
     np.testing.assert_array_equal(a, b)
+
+
+def test_mosaic_box_mapping():
+    from yolo_from_scratch_tpu.data.dataset import mosaic_4
+
+    s = 64
+    samples = []
+    for v in range(4):
+        img = np.full((s, s, 3), v / 4.0, np.float32)
+        boxes = np.array([[0.5, 0.5, 0.5, 0.5]], np.float32)
+        samples.append((img, boxes, np.array([v])))
+
+    class FixedRng:
+        def uniform(self, a, b):
+            return 0.5  # center exactly in the middle
+
+    img, boxes, classes = mosaic_4(samples, FixedRng())
+    assert img.shape == (s, s, 3)
+    assert len(boxes) == 4
+    # quadrant 0 (top-left): box (0.5, 0.5, 0.5, 0.5) maps to
+    # (0.25, 0.25, 0.25, 0.25)
+    np.testing.assert_allclose(boxes[0], [0.25, 0.25, 0.25, 0.25], atol=1e-6)
+    # quadrant 3 (bottom-right): (0.75, 0.75, 0.25, 0.25)
+    np.testing.assert_allclose(boxes[3], [0.75, 0.75, 0.25, 0.25], atol=1e-6)
+    assert classes.tolist() == [0, 1, 2, 3]
+    # quadrant pixel content placed correctly
+    assert img[:32, :32].mean() == pytest.approx(0.0, abs=1e-6)
+    assert img[32:, 32:].mean() == pytest.approx(0.75, abs=1e-6)
+
+
+def test_mosaic_drops_degenerate_boxes():
+    from yolo_from_scratch_tpu.data.dataset import mosaic_4
+
+    s = 64
+    tiny = np.array([[0.5, 0.5, 0.001, 0.001]], np.float32)
+    samples = [
+        (np.zeros((s, s, 3), np.float32), tiny, np.array([0]))
+        for _ in range(4)
+    ]
+
+    class FixedRng:
+        def uniform(self, a, b):
+            return 0.5
+
+    _, boxes, classes = mosaic_4(samples, FixedRng())
+    assert len(boxes) == 0 and len(classes) == 0
+
+
+def test_mosaic_through_dataset(temp_dataset_dir, img_size):
+    """Augmented dataset with mosaic produces valid images and targets."""
+    ds = YoloDataset(str(temp_dataset_dir / "train" / "images"), 1,
+                     img_size=img_size, augment=True, seed=123)
+    saw_obj = 0
+    for idx in range(len(ds)):
+        img, targets = ds[idx]
+        assert img.shape == (img_size, img_size, 3)
+        assert np.isfinite(img).all()
+        saw_obj += sum(t[..., 4].sum() for t in targets)
+        for t in targets:
+            assigned = t[t[..., 4] == 1.0]
+            if len(assigned):
+                assert (assigned[:, 0:4] >= 0).all()
+                assert (assigned[:, 0:2] <= 1).all()
+    assert saw_obj >= len(ds)  # objects survive mosaic on average

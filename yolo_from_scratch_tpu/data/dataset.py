@@ -117,6 +117,53 @@ def assign_targets(
     return targets
 
 
+def mosaic_4(samples, rng, min_box=2.0 / 640.0):
+    """YOLO-style 4-image mosaic (simplified): one canvas split at a random
+    center; each quadrant is a resized source image with its boxes mapped
+    into quadrant coordinates. Degenerate boxes (below `min_box` after
+    scaling) are dropped.
+
+    Args:
+        samples: list of 4 (img (S, S, 3) f32, boxes (N, 4) cxcywh norm,
+            classes (N,)) tuples.
+        rng: np.random.Generator.
+
+    Returns (img, boxes, classes).
+    """
+    import cv2
+
+    s = samples[0][0].shape[0]
+    cx = rng.uniform(0.3, 0.7)
+    cy = rng.uniform(0.3, 0.7)
+    quads = [
+        (0.0, 0.0, cx, cy), (cx, 0.0, 1.0 - cx, cy),
+        (0.0, cy, cx, 1.0 - cy), (cx, cy, 1.0 - cx, 1.0 - cy),
+    ]
+    canvas = np.empty((s, s, 3), np.float32)
+    out_boxes, out_classes = [], []
+    for (img, boxes, classes), (qx, qy, qw, qh) in zip(samples, quads):
+        x0, y0 = int(round(qx * s)), int(round(qy * s))
+        x1, y1 = int(round((qx + qw) * s)), int(round((qy + qh) * s))
+        w_px, h_px = max(x1 - x0, 1), max(y1 - y0, 1)
+        canvas[y0:y0 + h_px, x0:x0 + w_px] = cv2.resize(
+            img, (w_px, h_px), interpolation=cv2.INTER_LINEAR
+        ).reshape(h_px, w_px, 3)
+        if len(boxes):
+            b = boxes.copy()
+            b[:, 0] = qx + b[:, 0] * qw
+            b[:, 1] = qy + b[:, 1] * qh
+            b[:, 2] = b[:, 2] * qw
+            b[:, 3] = b[:, 3] * qh
+            keep = (b[:, 2] >= min_box) & (b[:, 3] >= min_box)
+            out_boxes.append(b[keep])
+            out_classes.append(np.asarray(classes)[keep])
+    boxes = (np.concatenate(out_boxes) if out_boxes
+             else np.zeros((0, 4), np.float32))
+    classes = (np.concatenate(out_classes) if out_classes
+               else np.zeros(0, np.int64))
+    return canvas, boxes.astype(np.float32), classes.astype(np.int64)
+
+
 def augment_image_and_boxes(img, boxes, rng):
     """Training-time augmentation (not in the reference — gated off by
     default): horizontal flip (p=0.5) + brightness/contrast jitter.
@@ -192,8 +239,8 @@ class YoloDataset:
     def __len__(self):
         return len(self.imgs)
 
-    def __getitem__(self, idx):
-        """Returns (img (S, S, 3) float32 in [0,1] NHWC, [t_p3, t_p4, t_p5])."""
+    def _load_raw(self, idx):
+        """(img (S, S, 3) f32, boxes (N, 4) letterboxed cxcywh, classes)."""
         from PIL import Image
 
         pil = Image.open(self.imgs[idx]).convert("RGB")
@@ -205,9 +252,20 @@ class YoloDataset:
         boxes = adjust_boxes_for_letterbox(
             rows[:, 1:5], orig_w, orig_h, scale, pad_top, pad_left, self.img_size
         )
+        return img, boxes, rows[:, 0].astype(np.int64)
+
+    def __getitem__(self, idx):
+        """Returns (img (S, S, 3) float32 in [0,1] NHWC, [t_p3, t_p4, t_p5])."""
+        img, boxes, classes = self._load_raw(idx)
         if self.augment:
+            if len(self) >= 4 and self._aug_rng.random() < 0.5:
+                others = self._aug_rng.choice(len(self), 3, replace=False)
+                samples = [(img, boxes, classes)] + [
+                    self._load_raw(int(i)) for i in others
+                ]
+                img, boxes, classes = mosaic_4(samples, self._aug_rng)
             img, boxes = augment_image_and_boxes(img, boxes, self._aug_rng)
-        targets = self._assign(boxes, rows[:, 0].astype(np.int64))
+        targets = self._assign(boxes, classes)
         return img, targets
 
     def _boxes_for(self, idx, scale, pad_top, pad_left):
@@ -228,9 +286,11 @@ class YoloDataset:
 
     def load_batch(self, indices, n_threads=4):
         """Batch fast path: native threaded decode+letterbox when enabled,
-        else per-item PIL. Returns (images (B,S,S,3) f32, [t_p3,t_p4,t_p5])."""
+        else per-item PIL. Augmented loading (mosaic needs sibling samples)
+        always routes through the per-item path.
+        Returns (images (B,S,S,3) f32, [t_p3,t_p4,t_p5])."""
         indices = [int(i) for i in indices]
-        if self.backend != "native":
+        if self.backend != "native" or self.augment:
             imgs, tgts = zip(*(self[i] for i in indices))
             images = np.stack(imgs).astype(np.float32)
             targets = [
@@ -250,10 +310,6 @@ class YoloDataset:
             boxes, class_ids = self._boxes_for(
                 i, float(scales[k]), int(pad_tops[k]), int(pad_lefts[k])
             )
-            if self.augment:
-                images[k], boxes = augment_image_and_boxes(
-                    images[k], boxes, self._aug_rng
-                )
             tgts.append(self._assign(boxes, class_ids))
         targets = [
             np.stack([t[s] for t in tgts]).astype(np.float32) for s in range(3)
