@@ -79,3 +79,13 @@ def test_evaluate_map_over_dataset(cfg, model_and_vars, temp_dataset_dir):
     out = evaluate_map(predictor, ds, max_images=2, num_classes=1)
     assert 0.0 <= out["map50"] <= 1.0
     assert 0.0 <= out["map"] <= out["map50"] + 1e-9
+
+
+def test_overlapping_gts_both_matched():
+    """COCO matching: a detection whose argmax GT is already claimed must
+    match the next unused GT above threshold (not become an FP)."""
+    gts = [[(0, 10, 10, 50, 50), (0, 14, 14, 54, 54)]]  # heavy overlap
+    dets = [[(10, 10, 50, 50, 0.9, 0),   # matches GT A exactly
+             (12, 12, 52, 52, 0.8, 0)]]  # argmax is A (used) but IoU(B)>0.5
+    mAP, _ = average_precision(dets, gts, 0.5, 1)
+    assert mAP == pytest.approx(1.0)

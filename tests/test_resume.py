@@ -82,3 +82,29 @@ def test_resumed_step_matches_uninterrupted(cfg, tmp_path,
     for a, b in zip(jax.tree.leaves(jax.device_get(s2_direct.params)),
                     jax.tree.leaves(jax.device_get(s2_resumed.params))):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+
+
+def test_resume_from_ema_checkpoint_uses_raw_params(cfg, tmp_path,
+                                                    shared_train_setup):
+    """EMA checkpoints hold averaged weights as 'model' but --resume must
+    restore the RAW trajectory (matching the saved Adam moments) and the
+    step counter."""
+    import numpy as np
+
+    from yolo_from_scratch_tpu.train.loop import restore_train_state
+
+    model, tx, state, train_step = shared_train_setup
+    raw = jax.device_get(state.params)
+    fake_ema = jax.tree.map(lambda p: np.asarray(p) * 0.5, raw)
+    p = tmp_path / "ema_resume.ckpt"
+    save_checkpoint(
+        p, {"params": fake_ema, "batch_stats": jax.device_get(state.batch_stats)},
+        cfg, epoch=2, opt_state=state.opt_state,
+        extra={"raw_params": raw, "step": 123,
+               "raw_batch_stats": jax.device_get(state.batch_stats)},
+    )
+    restored, _, start = restore_train_state(p, make_optimizer(1e-3))
+    assert start == 3
+    assert int(restored.step) == 123
+    for a, b in zip(jax.tree.leaves(raw), jax.tree.leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -138,6 +138,10 @@ def _load_model_from_ckpt(ckpt_file, dtype=None):
 def main(argv=None):
     args = build_parser().parse_args(argv)
 
+    if args.img_size % 32 != 0:
+        print(f"ERROR: --img-size must be divisible by 32, got {args.img_size}")
+        sys.exit(1)
+
     yaml_file = next(
         (a for a in args.files if a.endswith((".yaml", ".yml"))), None
     )
@@ -238,7 +242,10 @@ def main(argv=None):
                         evaluate_map,
                     )
 
-                    predictor = Predictor(variables, cfg, conf_threshold=0.25)
+                    # low threshold: mAP integrates the full PR curve, so
+                    # the low-confidence tail must not be truncated
+                    predictor = Predictor(variables, cfg, conf_threshold=1e-3,
+                                          max_outputs=300)
                     m = evaluate_map(predictor, loader.dataset,
                                      num_classes=cfg.num_classes)
                     print(f"  mAP@0.5: {m['map50'] * 100:.2f}%")
@@ -288,6 +295,10 @@ def main(argv=None):
                             cfg.img_size, head_type=cfg.head_type),
                 batch_size=args.batch_size,
             )
+            if len(train_loader.dataset) == 0:
+                print(f"ERROR: no images found in {config['train']} "
+                      f"(expected *.jpg / *.jpeg / *.png)")
+                sys.exit(1)
             print("Training YOLO model")
             print(f"Number of classes: {cfg.num_classes}")
             print(f"Training images: {len(train_loader.dataset)}")

@@ -201,8 +201,12 @@ class YoloDataset:
 
     def __init__(self, img_dir, num_classes=1, anchors=None, img_size=640,
                  backend="auto", head_type="anchor", augment=False, seed=0):
+        # the reference globs only *.jpg + *.png (train.py:62); we also
+        # accept .jpeg and uppercase variants (the CLI always accepted
+        # .jpeg for inference) — deduplicated, sorted for determinism
+        exts = ("jpg", "jpeg", "png", "JPG", "JPEG", "PNG")
         self.imgs = sorted(
-            glob.glob(f"{img_dir}/*.jpg") + glob.glob(f"{img_dir}/*.png")
+            {p for e in exts for p in glob.glob(f"{img_dir}/*.{e}")}
         )
         self.labels = [
             str(Path(p).parent.parent / "labels" / f"{Path(p).stem}.txt")

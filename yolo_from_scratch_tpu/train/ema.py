@@ -15,8 +15,10 @@ import jax.numpy as jnp
 
 
 def ema_init(params):
-    """EMA state = copy of params."""
-    return jax.tree.map(jnp.asarray, params)
+    """EMA state = COPY of params (a real copy — the EMA is carried next
+    to the live state in donated step arguments, so sharing buffers would
+    donate the same buffer twice)."""
+    return jax.tree.map(lambda x: jnp.array(x, copy=True), params)
 
 
 def ema_update(ema_params, params, step, decay=0.9999, tau=2000.0):
@@ -29,12 +31,21 @@ def ema_update(ema_params, params, step, decay=0.9999, tau=2000.0):
 
 def wrap_train_step_with_ema(train_step, decay=0.9999, tau=2000.0):
     """Lift a (state, ...) -> (state, metrics) step into one that also
-    carries EMA params: ((state, ema), ...) -> ((state, ema), metrics)."""
+    carries an EMA pytree: ((state, ema), ...) -> ((state, ema), metrics).
+
+    `ema` may be a params pytree, or a {'params', 'batch_stats'} dict to
+    average the BN buffers along with the weights (YOLOv5 ModelEMA
+    averages buffers too)."""
 
     def stepped(state_and_ema, *args):
         state, ema = state_and_ema
         new_state, metrics = train_step(state, *args)
-        new_ema = ema_update(ema, new_state.params, new_state.step, decay, tau)
+        if isinstance(ema, dict) and "batch_stats" in ema:
+            target = {"params": new_state.params,
+                      "batch_stats": new_state.batch_stats}
+        else:
+            target = new_state.params
+        new_ema = ema_update(ema, target, new_state.step, decay, tau)
         return (new_state, new_ema), metrics
 
     return stepped

@@ -116,7 +116,7 @@ def fit(
         save_path = f"yolo_{timestamp}.ckpt"
     metrics_logger = MetricsLogger(metrics_path)
 
-    ema_params = None
+    ema = None  # {'params', 'batch_stats'} — BN buffers average too
     stepped = train_step
     if use_ema:
         from yolo_from_scratch_tpu.train.ema import (
@@ -124,26 +124,31 @@ def fit(
             wrap_train_step_with_ema,
         )
 
-        ema_params = ema_init(state.params)
-        stepped = jax.jit(wrap_train_step_with_ema(train_step, decay=ema_decay))
+        ema = ema_init({"params": state.params,
+                        "batch_stats": state.batch_stats})
+        stepped = jax.jit(
+            wrap_train_step_with_ema(train_step, decay=ema_decay),
+            donate_argnums=(0,),  # keep the plain path's donation semantics
+        )
 
     for epoch in range(start_epoch, epochs):
         lr = lr_at_epoch(epoch, warmup_epochs, epochs, initial_lr, min_lr)
         state = set_learning_rate(state, lr)
 
         if use_ema:
-            carry = (state, ema_params)
+            carry = (state, ema)
             carry, loss, bbox, obj, cls, n_imgs, dt = train_epoch(
                 stepped, carry, train_loader, mesh
             )
-            state, ema_params = carry
+            state, ema = carry
         else:
             state, loss, bbox, obj, cls, n_imgs, dt = train_epoch(
                 train_step, state, train_loader, mesh
             )
-        eval_params = ema_params if use_ema else state.params
+        eval_params = ema["params"] if use_ema else state.params
+        eval_stats = ema["batch_stats"] if use_ema else state.batch_stats
         val_loss, val_p, val_r, val_f1 = eval_epoch(
-            eval_step, eval_params, state.batch_stats, val_loader, mesh
+            eval_step, eval_params, eval_stats, val_loader, mesh
         )
 
         log(
@@ -159,13 +164,22 @@ def fit(
             "images_per_sec": n_imgs / max(dt, 1e-9),
         })
 
+        # 'model' holds the DEPLOYMENT weights (EMA when enabled); the raw
+        # training trajectory + step ride in extra so --resume restores the
+        # true optimization state, not the smoothed average
+        extra = {"step": int(jax.device_get(state.step))}
+        if use_ema:
+            extra["raw_params"] = jax.device_get(state.params)
+            extra["raw_batch_stats"] = jax.device_get(state.batch_stats)
         save_checkpoint(
             save_path,
             {"params": jax.device_get(eval_params),
-             "batch_stats": jax.device_get(state.batch_stats)},
+             "batch_stats": jax.device_get(eval_stats if use_ema
+                                           else state.batch_stats)},
             cfg,
             epoch=epoch,
             opt_state=state.opt_state if save_opt_state else None,
+            extra=extra,
         )
 
     return state, save_path
@@ -181,14 +195,20 @@ def restore_train_state(ckpt_path, tx):
     from yolo_from_scratch_tpu.utils.checkpoint import load_checkpoint
 
     variables, cfg, meta = load_checkpoint(ckpt_path)
-    params = variables["params"]
+    extra = meta.get("extra") or {}
+    # EMA checkpoints store the deployment (averaged) weights as 'model';
+    # the raw training trajectory rides in extra — resume from THAT so the
+    # restored Adam moments match the weights they were accumulated for
+    params = extra.get("raw_params", variables["params"])
+    batch_stats = extra.get("raw_batch_stats", variables["batch_stats"])
     opt_state = tx.init(params)
     if meta.get("opt_state") is not None:
         opt_state = serialization.from_state_dict(opt_state, meta["opt_state"])
+    step = int(extra.get("step", 0))
     state = TrainState(
         params=params,
-        batch_stats=variables["batch_stats"],
+        batch_stats=batch_stats,
         opt_state=opt_state,
-        step=jnp.zeros((), jnp.int32),
+        step=jnp.asarray(step, jnp.int32),
     )
     return state, cfg, meta["epoch"] + 1

@@ -90,9 +90,12 @@ def average_precision(detections, ground_truths, iou_threshold=0.5,
             if len(gt["boxes"]) == 0:
                 fp[i] = 1
                 continue
+            # COCO matching: best IoU among UNUSED GTs (an already-claimed
+            # GT must not shadow an unmatched one the detection also covers)
             ious = _iou_corner(box, gt["boxes"])
+            ious = np.where(gt["used"], -1.0, ious)
             j = int(np.argmax(ious))
-            if ious[j] >= iou_threshold and not gt["used"][j]:
+            if ious[j] >= iou_threshold:
                 tp[i] = 1
                 gt["used"][j] = True
             else:
@@ -116,16 +119,20 @@ def coco_map(detections, ground_truths, num_classes=1,
     """
     if iou_thresholds is None:
         iou_thresholds = np.arange(0.5, 0.96, 0.05)
-    map50, per_class = average_precision(
-        detections, ground_truths, 0.5, num_classes
-    )
-    maps = [
-        average_precision(detections, ground_truths, float(t), num_classes)[0]
+    results = [
+        average_precision(detections, ground_truths, float(t), num_classes)
         for t in iou_thresholds
     ]
+    # first threshold is 0.5 by convention; reuse rather than re-matching
+    if abs(float(iou_thresholds[0]) - 0.5) < 1e-9:
+        map50, per_class = results[0]
+    else:
+        map50, per_class = average_precision(
+            detections, ground_truths, 0.5, num_classes
+        )
     return {
         "map50": map50,
-        "map": float(np.mean(maps)),
+        "map": float(np.mean([m for m, _ in results])),
         "per_class_ap50": per_class,
     }
 
