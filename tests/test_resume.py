@@ -36,7 +36,7 @@ def test_resume_restores_params_opt_state_epoch(cfg, tmp_path,
     )
 
     tx2 = make_optimizer(1e-3)
-    restored, cfg2, start_epoch = restore_train_state(p, tx2)
+    restored, cfg2, start_epoch, _ = restore_train_state(p, tx2)
     assert start_epoch == 5
     assert cfg2.img_size == cfg.img_size
 
@@ -72,7 +72,7 @@ def test_resumed_step_matches_uninterrupted(cfg, tmp_path,
          "batch_stats": jax.device_get(s1.batch_stats)},
         cfg, epoch=0, opt_state=s1.opt_state,
     )
-    restored, _, _ = restore_train_state(p, make_optimizer(1e-3))
+    restored, _, _, _ = restore_train_state(p, make_optimizer(1e-3))
     restored = set_learning_rate(restored, 1e-3)
     s2_resumed, m_resumed = train_step(restored, images, targets)
 
@@ -103,8 +103,35 @@ def test_resume_from_ema_checkpoint_uses_raw_params(cfg, tmp_path,
         extra={"raw_params": raw, "step": 123,
                "raw_batch_stats": jax.device_get(state.batch_stats)},
     )
-    restored, _, start = restore_train_state(p, make_optimizer(1e-3))
+    restored, _, start, _ = restore_train_state(p, make_optimizer(1e-3))
     assert start == 3
     assert int(restored.step) == 123
     for a, b in zip(jax.tree.leaves(raw), jax.tree.leaves(restored.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+def test_resume_returns_ema_vars_for_continuation(cfg, tmp_path,
+                                                  shared_train_setup):
+    """An EMA checkpoint's averaged deployment weights come back as
+    ema_vars so fit(initial_ema=...) continues the average rather than
+    re-pinning it to the raw resume-point snapshot (advisor finding)."""
+    model, tx, state, train_step = shared_train_setup
+    raw = jax.device_get(state.params)
+    stats = jax.device_get(state.batch_stats)
+    fake_ema = jax.tree.map(lambda p: np.asarray(p) * 0.5, raw)
+    p = tmp_path / "ema_cont.ckpt"
+    save_checkpoint(
+        p, {"params": fake_ema, "batch_stats": stats},
+        cfg, epoch=2, opt_state=state.opt_state,
+        extra={"raw_params": raw, "step": 123, "raw_batch_stats": stats},
+    )
+    _, _, _, ema_vars = restore_train_state(p, make_optimizer(1e-3))
+    assert ema_vars is not None
+    for a, b in zip(jax.tree.leaves(fake_ema),
+                    jax.tree.leaves(ema_vars["params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # non-EMA checkpoint -> no ema_vars
+    p2 = tmp_path / "plain.ckpt"
+    save_checkpoint(p2, {"params": raw, "batch_stats": stats}, cfg, epoch=0)
+    _, _, _, ema_vars2 = restore_train_state(p2, make_optimizer(1e-3))
+    assert ema_vars2 is None

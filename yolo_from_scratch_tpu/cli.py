@@ -263,13 +263,25 @@ def main(argv=None):
                 from yolo_from_scratch_tpu.train.steps import make_optimizer
 
                 tx = make_optimizer(args.lr)
-                state, cfg_ckpt, start_epoch = restore_train_state(
+                state, cfg_ckpt, start_epoch, resume_ema = restore_train_state(
                     args.resume, tx
                 )
                 cfg = cfg_ckpt.with_(compute_dtype=args.dtype)
                 model = YOLO(cfg)
                 save_path = args.resume
                 print(f"Resuming from {args.resume} at epoch {start_epoch + 1}")
+                # The checkpoint config governs model/loss/data; warn when
+                # explicitly-passed flags disagree so overrides aren't silent
+                for flag, passed, kept, shown in (
+                    ("--size", size_cfg["width_mult"], cfg.width_mult,
+                     args.size),
+                    ("--img-size", args.img_size, cfg.img_size,
+                     args.img_size),
+                    ("--head", args.head, cfg.head_type, args.head),
+                ):
+                    if passed != kept:
+                        print(f"WARNING: {flag} {shown!r} ignored on "
+                              f"--resume; checkpoint uses {kept!r}")
             else:
                 cfg = YoloConfig(
                     num_classes=num_classes,
@@ -321,6 +333,7 @@ def main(argv=None):
                 min_lr=args.min_lr, warmup_epochs=args.warmup_epochs, mesh=mesh,
                 metrics_path=args.metrics_jsonl, start_epoch=start_epoch,
                 save_path=save_path, use_ema=args.ema,
+                initial_ema=resume_ema if args.resume else None,
             )
             print(f"\nTraining complete. Model saved to {save_path}")
     else:

@@ -104,8 +104,11 @@ def assign_targets(
     for n in range(len(boxes)):
         s, a = int(best_scale[n]), int(best_anchor[n])
         gs = grid_sizes[s]
-        gx = min(int(boxes[n, 0] * gs), gs - 1)
-        gy = min(int(boxes[n, 1] * gs), gs - 1)
+        # Clamp both ends: labels are untrusted input here (parse_label_file
+        # does no range validation), and a center <= -1/gs would otherwise
+        # wrap to the last row/column via negative indexing.
+        gx = max(0, min(int(boxes[n, 0] * gs), gs - 1))
+        gy = max(0, min(int(boxes[n, 1] * gs), gs - 1))
         t = targets[s]
         if t[gy, gx, a, 4] == 0:
             t[gy, gx, a, 0:4] = boxes[n]
@@ -267,7 +270,11 @@ class YoloDataset:
                 samples = [(img, boxes, classes)] + [
                     self._load_raw(int(i)) for i in others
                 ]
-                img, boxes, classes = mosaic_4(samples, self._aug_rng)
+                # min_box keeps the degenerate-box filter at ~2 px at the
+                # ACTUAL training resolution (the default is 640-based)
+                img, boxes, classes = mosaic_4(
+                    samples, self._aug_rng, min_box=2.0 / self.img_size
+                )
             img, boxes = augment_image_and_boxes(img, boxes, self._aug_rng)
         targets = self._assign(boxes, classes)
         return img, targets

@@ -97,6 +97,7 @@ def fit(
     save_opt_state=True,
     use_ema=False,
     ema_decay=0.9999,
+    initial_ema=None,
 ):
     """Full training driver (reference: train.py:1520-1545): per-epoch
     train + eval + checkpoint + LR step. Returns (state, save_path).
@@ -124,8 +125,16 @@ def fit(
             wrap_train_step_with_ema,
         )
 
-        ema = ema_init({"params": state.params,
-                        "batch_stats": state.batch_stats})
+        if initial_ema is not None:
+            # --resume path: continue the checkpointed average (stored as
+            # the deployment 'model' weights) instead of re-pinning the EMA
+            # to the resume-point raw snapshot — at a restored step the
+            # warmup factor is already ~decay, so a re-init would keep
+            # evals on stale raw weights for ~1/(1-decay) steps.
+            ema = ema_init(initial_ema)
+        else:
+            ema = ema_init({"params": state.params,
+                            "batch_stats": state.batch_stats})
         stepped = jax.jit(
             wrap_train_step_with_ema(train_step, decay=ema_decay),
             donate_argnums=(0,),  # keep the plain path's donation semantics
@@ -187,7 +196,11 @@ def fit(
 
 def restore_train_state(ckpt_path, tx):
     """Rebuild a TrainState (incl. optimizer state when present) from a
-    checkpoint for `--resume`. Returns (state, cfg, start_epoch)."""
+    checkpoint for `--resume`. Returns (state, cfg, start_epoch, ema_vars)
+    where `ema_vars` is the checkpoint's averaged deployment weights
+    ({'params', 'batch_stats'}) when it was written with --ema, else None
+    — pass it to fit(initial_ema=...) so a resumed EMA continues the
+    checkpointed average instead of restarting from the raw snapshot."""
     import jax.numpy as jnp
     from flax import serialization
 
@@ -201,6 +214,10 @@ def restore_train_state(ckpt_path, tx):
     # restored Adam moments match the weights they were accumulated for
     params = extra.get("raw_params", variables["params"])
     batch_stats = extra.get("raw_batch_stats", variables["batch_stats"])
+    ema_vars = None
+    if "raw_params" in extra:
+        ema_vars = {"params": variables["params"],
+                    "batch_stats": variables["batch_stats"]}
     opt_state = tx.init(params)
     if meta.get("opt_state") is not None:
         opt_state = serialization.from_state_dict(opt_state, meta["opt_state"])
@@ -211,4 +228,4 @@ def restore_train_state(ckpt_path, tx):
         opt_state=opt_state,
         step=jnp.asarray(step, jnp.int32),
     )
-    return state, cfg, meta["epoch"] + 1
+    return state, cfg, meta["epoch"] + 1, ema_vars
