@@ -73,3 +73,49 @@ def test_batched_pallas_matches_lax(seed=4):
                                  interpret=True)
     for x, y in zip(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_batched_grid_matches_per_image_lax():
+    """The batch-gridded kernel (one grid step per image) must bit-match
+    the lax oracle run per image."""
+    from yolo_from_scratch_tpu.ops.nms_pallas import (
+        nms_keep_mask_pallas_batched,
+    )
+
+    b, n = 5, 200
+    boxes = np.stack([_random_boxes(s, n)[0] for s in range(b)])
+    scores = np.stack([_random_boxes(s, n)[1] for s in range(b)])
+    scores[2, 150:] = NEG_INF  # one image with padding rows
+    got = np.asarray(
+        nms_keep_mask_pallas_batched(
+            jnp.asarray(boxes), jnp.asarray(scores), 0.5, interpret=True
+        )
+    )
+    for i in range(b):
+        exp = np.asarray(
+            nms_keep_mask(jnp.asarray(boxes[i]), jnp.asarray(scores[i]), 0.5)
+        )
+        np.testing.assert_array_equal(got[i], exp)
+
+
+def test_batched_images_class_aware_matches_lax():
+    from yolo_from_scratch_tpu.ops.nms_pallas import (
+        batched_nms_fixed_pallas_images,
+    )
+
+    b, n = 3, 160
+    rng = np.random.default_rng(7)
+    boxes = np.stack([_random_boxes(s + 10, n)[0] for s in range(b)])
+    scores = np.stack([_random_boxes(s + 10, n)[1] for s in range(b)])
+    classes = rng.integers(0, 4, (b, n)).astype(np.int32)
+    got = batched_nms_fixed_pallas_images(
+        jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(classes), 0.4,
+        max_outputs=32, interpret=True,
+    )
+    for i in range(b):
+        exp = batched_nms_fixed(
+            jnp.asarray(boxes[i]), jnp.asarray(scores[i]),
+            jnp.asarray(classes[i]), 0.4, max_outputs=32,
+        )
+        for x, y in zip(exp, (g[i] for g in got)):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))

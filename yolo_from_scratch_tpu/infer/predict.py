@@ -134,24 +134,29 @@ def make_batch_postprocess(model: YOLO, cfg: YoloConfig, conf_threshold=0.5,
     pad_tops (B,), pad_lefts (B,)) -> per-image fixed-shape detections
     (boxes (B, K, 4), scores (B, K), classes (B, K), valid (B, K)).
 
-    One forward over the whole batch, then the per-image postprocess
-    (decode -> top-k -> greedy NMS) vmapped across the batch — the
-    suppression while_loop batches into a single device program. This is
-    the high-throughput serving entry the reference lacks (its `predict`
-    is strictly single-image, train.py:1114).
+    One forward over the whole batch, then the per-image decode/top-k
+    vmapped across the batch, feeding a SINGLE NMS over (B, K): on TPU the
+    Pallas kernel runs the batch as a grid dimension (one pivot walk per
+    grid step, all in VMEM); elsewhere the lax oracle vmaps. This is the
+    high-throughput serving entry the reference lacks (its `predict` is
+    strictly single-image, train.py:1114).
 
-    The batched path always uses the lax NMS (a vmapped `pallas_call` is
-    not supported); requesting `use_pallas_nms=True` is an error.
+    `use_pallas_nms`: None = auto (Pallas kernel on TPU, lax elsewhere).
     """
     anchors = cfg.anchors_array
     img_size = cfg.img_size
     nc = cfg.num_classes
     per_cell = 1 if cfg.head_type == "anchor_free" else 3
     k = topk or default_topk(img_size, per_cell)
+    if use_pallas_nms is None:
+        use_pallas_nms = jax.devices()[0].platform == "tpu"
     if use_pallas_nms:
-        raise ValueError(
-            "batched postprocess cannot vmap the Pallas NMS kernel; "
-            "use the lax path (use_pallas_nms=False/None)"
+        from yolo_from_scratch_tpu.ops.nms_pallas import (
+            batched_nms_fixed_pallas_images as batch_nms_fn,
+        )
+    else:
+        batch_nms_fn = jax.vmap(
+            batched_nms_fixed, in_axes=(0, 0, 0, None, None)
         )
 
     def per_image(flat_boxes, flat_obj, flat_cls, scale, pad_top, pad_left):
@@ -178,9 +183,7 @@ def make_batch_postprocess(model: YOLO, cfg: YoloConfig, conf_threshold=0.5,
         corners = jnp.stack([x1, y1, x2, y2], axis=1)
 
         top_scores, idx = jax.lax.top_k(score, k)
-        return batched_nms_fixed(
-            corners[idx], top_scores, cls_id[idx], iou_threshold, max_outputs
-        )
+        return corners[idx], top_scores, cls_id[idx]
 
     @jax.jit
     def postprocess(variables, imgs, scales, pad_tops, pad_lefts):
@@ -209,8 +212,12 @@ def make_batch_postprocess(model: YOLO, cfg: YoloConfig, conf_threshold=0.5,
         boxes = jnp.concatenate(boxes_all, axis=1)
         obj = jnp.concatenate(obj_all, axis=1)
         cls = jnp.concatenate(cls_all, axis=1)
-        return jax.vmap(per_image)(boxes, obj, cls, scales, pad_tops,
-                                   pad_lefts)
+        cand_boxes, cand_scores, cand_cls = jax.vmap(per_image)(
+            boxes, obj, cls, scales, pad_tops, pad_lefts
+        )
+        return batch_nms_fn(
+            cand_boxes, cand_scores, cand_cls, iou_threshold, max_outputs
+        )
 
     return postprocess
 

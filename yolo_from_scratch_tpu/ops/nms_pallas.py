@@ -37,18 +37,19 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _nms_kernel(thr_ref, cap_ref, boxes_t_ref, valid_ref, keep_ref):
-    """boxes_t_ref: (4, K) sorted desc by score. valid_ref/keep_ref: (1, K)."""
-    k = boxes_t_ref.shape[1]
-    x1 = boxes_t_ref[0:1, :]  # (1, K)
-    y1 = boxes_t_ref[1:2, :]
-    x2 = boxes_t_ref[2:3, :]
-    y2 = boxes_t_ref[3:4, :]
+    """One grid step = one image. boxes_t_ref: (1, 4, K) sorted desc by
+    score. valid_ref/keep_ref: (1, 1, K)."""
+    k = boxes_t_ref.shape[2]
+    x1 = boxes_t_ref[0, 0:1, :]  # (1, K)
+    y1 = boxes_t_ref[0, 1:2, :]
+    x2 = boxes_t_ref[0, 2:3, :]
+    y2 = boxes_t_ref[0, 3:4, :]
     area = (x2 - x1) * (y2 - y1)
 
     thr = thr_ref[0, 0]
     cap = cap_ref[0, 0]
     ranks = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
-    valid = valid_ref[0:1, :]  # f32 0/1 mask
+    valid = valid_ref[0, 0:1, :]  # f32 0/1 mask
 
     # All loop carries are f32 vectors / i32 scalars: bool vector carries
     # and bool arg-reductions do not legalize in the Mosaic TPU lowering.
@@ -93,7 +94,62 @@ def _nms_kernel(thr_ref, cap_ref, boxes_t_ref, valid_ref, keep_ref):
 
     zeros = jnp.zeros((1, k), jnp.float32)
     keep, _, _ = jax.lax.while_loop(cond, body, (zeros, zeros, 0))
-    keep_ref[0:1, :] = keep
+    keep_ref[0, 0:1, :] = keep
+
+
+@functools.partial(jax.jit, static_argnames=("max_keep", "interpret"))
+def nms_keep_mask_pallas_batched(boxes, scores, iou_threshold, max_keep=None,
+                                 interpret=False):
+    """Batched Pallas NMS: one grid step per image, each running the full
+    pivot walk in VMEM. A vmapped `pallas_call` is unsupported — the batch
+    axis is a kernel grid dimension instead.
+
+    Args:
+        boxes: (B, N, 4) corner boxes.
+        scores: (B, N); entries <= NEG_INF/2 are padding, never kept.
+
+    Returns (B, N) bool keep mask in the ORIGINAL per-image box order."""
+    b, n, _ = boxes.shape
+    order = jnp.argsort(-scores, axis=1)
+    boxes_s = jnp.take_along_axis(boxes, order[..., None], axis=1)
+    scores_s = jnp.take_along_axis(scores, order, axis=1)
+
+    k = _round_up(n, LANE)
+    pad = k - n
+    boxes_t = jnp.pad(boxes_s, ((0, 0), (0, pad), (0, 0))).transpose(0, 2, 1)
+    valid = jnp.pad(
+        (scores_s > NEG_INF / 2).astype(jnp.float32), ((0, 0), (0, pad))
+    )[:, None, :]  # (B, 1, K)
+
+    cap = n if max_keep is None else min(max_keep, n)
+    thr = jnp.asarray([[iou_threshold]], jnp.float32)
+    cap_arr = jnp.asarray([[cap]], jnp.int32)
+
+    keep_f = pl.pallas_call(
+        _nms_kernel,
+        grid=(b,),
+        out_shape=jax.ShapeDtypeStruct((b, 1, k), jnp.float32),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 4, k), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, k), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, k), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(thr, cap_arr, boxes_t, valid)
+
+    keep_sorted = keep_f[:, 0, :n] > 0.5
+    return (
+        jnp.zeros((b, n), bool)
+        .at[jnp.arange(b)[:, None], order]
+        .set(keep_sorted)
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("max_keep", "interpret"))
@@ -102,37 +158,10 @@ def nms_keep_mask_pallas(boxes, scores, iou_threshold, max_keep=None,
     """Drop-in Pallas equivalent of `ops.nms.nms_keep_mask` (torchvision
     suppress-on-greater semantics). Returns (N,) bool keep mask in the
     ORIGINAL box order."""
-    n = boxes.shape[0]
-    order = jnp.argsort(-scores)
-    boxes_s = boxes[order]
-    scores_s = scores[order]
-
-    k = _round_up(n, LANE)
-    pad = k - n
-    boxes_t = jnp.pad(boxes_s, ((0, pad), (0, 0))).T  # (4, K)
-    valid = jnp.pad(
-        (scores_s > NEG_INF / 2).astype(jnp.float32), (0, pad)
-    ).reshape(1, k)
-
-    cap = n if max_keep is None else min(max_keep, n)
-    thr = jnp.asarray([[iou_threshold]], jnp.float32)
-    cap_arr = jnp.asarray([[cap]], jnp.int32)
-
-    keep_f = pl.pallas_call(
-        _nms_kernel,
-        out_shape=jax.ShapeDtypeStruct((1, k), jnp.float32),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+    return nms_keep_mask_pallas_batched(
+        boxes[None], scores[None], iou_threshold, max_keep=max_keep,
         interpret=interpret,
-    )(thr, cap_arr, boxes_t, valid)
-
-    keep_sorted = keep_f[0, :n] > 0.5
-    return jnp.zeros(n, bool).at[order].set(keep_sorted)
+    )[0]
 
 
 def batched_nms_fixed_pallas(boxes, scores, classes, iou_threshold,
@@ -147,3 +176,22 @@ def batched_nms_fixed_pallas(boxes, scores, classes, iou_threshold,
     top_scores, top_idx = jax.lax.top_k(masked_scores, max_outputs)
     valid = top_scores > NEG_INF / 2
     return boxes[top_idx], top_scores, classes[top_idx], valid
+
+
+@functools.partial(jax.jit, static_argnames=("max_outputs", "interpret"))
+def batched_nms_fixed_pallas_images(boxes, scores, classes, iou_threshold,
+                                    max_outputs, interpret=False):
+    """Class-aware global NMS over a BATCH of images, one kernel launch.
+    Same per-image contract as `ops.nms.batched_nms_fixed`, shapes
+    (B, N, 4)/(B, N)/(B, N) -> (B, K, 4)/(B, K)/(B, K)/(B, K)."""
+    offset_boxes = jax.vmap(_class_offset_boxes)(boxes, classes)
+    keep = nms_keep_mask_pallas_batched(
+        offset_boxes, scores, iou_threshold, max_keep=max_outputs,
+        interpret=interpret,
+    )
+    masked_scores = jnp.where(keep, scores, NEG_INF)
+    top_scores, top_idx = jax.lax.top_k(masked_scores, max_outputs)
+    valid = top_scores > NEG_INF / 2
+    out_boxes = jnp.take_along_axis(boxes, top_idx[..., None], axis=1)
+    out_classes = jnp.take_along_axis(classes, top_idx, axis=1)
+    return out_boxes, top_scores, out_classes, valid
