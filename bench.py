@@ -117,6 +117,43 @@ def bench_train(cfg, batch=BATCH, chunk=10):
     return batch * chunk * n_dispatch / dt
 
 
+def bench_batch_infer(cfg, batch=32, n_dispatch=10):
+    """Batched serving throughput: forward + decode + batched Pallas NMS
+    over B images per dispatch (the BatchPredictor device path). Dispatches
+    are queued back-to-back and the stream is closed with one value
+    readback — the device executes in order, so the final value forces the
+    whole chain (serving-queue semantics; amortizes the tunnel RTT the
+    single-image p50 cannot escape)."""
+    from yolo_from_scratch_tpu.infer.predict import make_batch_postprocess
+
+    model = YOLO(cfg)
+    variables = _init_on_host(
+        model.init, jax.random.PRNGKey(0),
+        jnp.zeros((1, cfg.img_size, cfg.img_size, 3)), train=False,
+    )
+    variables = jax.device_put(variables, jax.devices()[0])
+    post = make_batch_postprocess(model, cfg, conf_threshold=0.5,
+                                  iou_threshold=0.4, max_outputs=300)
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.random((batch, cfg.img_size, cfg.img_size, 3)),
+                       jnp.float32)
+    ones = jnp.ones(batch, jnp.float32)
+    zeros = jnp.zeros(batch, jnp.float32)
+
+    for _ in range(3):
+        out = post(variables, imgs, ones, zeros, zeros)
+    float(out[1][0, 0])  # hard sync (see bench_train)
+
+    t0 = time.perf_counter()
+    outs = [post(variables, imgs, ones, zeros, zeros)
+            for _ in range(n_dispatch)]
+    float(outs[-1][1][0, 0])  # in-order stream: final value forces all
+    dt = time.perf_counter() - t0
+    for o in outs:  # belt-and-braces: nothing left in flight
+        float(o[1][0, 0])
+    return batch * n_dispatch / dt
+
+
 def bench_infer(cfg):
     """Device-side inference latency: forward + decode + NMS (excludes host
     letterbox; the reference's 94.4ms includes ~a few ms of PIL)."""
@@ -164,14 +201,40 @@ def main():
     })
     print(result, flush=True)
 
+    extra = {
+        "train_images_per_sec_per_chip_640": round(train_ips, 2),
+        "train_vs_pytorch_cpu": round(train_ips / REFERENCE_CPU_TRAIN_IMG_S, 2),
+    }
+
+    def save_extra():
+        with open("BENCH_EXTRA.json", "w") as f:
+            json.dump(extra, f, indent=1)
+
+    save_extra()
     elapsed = time.perf_counter() - t_start
-    if os.environ.get("BENCH_SKIP_INFER") or elapsed > 380:
+    if os.environ.get("BENCH_SKIP_INFER") or elapsed > 330:
         log(f"skipping infer bench (elapsed {elapsed:.0f}s)")
+        return
+    # Reference predict p50 measured in this container: 94.4 ms = 10.6 img/s
+    # (BASELINE.md). The ≥5x target is 53 img/s.
+    try:
+        batch_ips = bench_batch_infer(cfg)
+        log(f"batched inference (B=32, fwd+decode+Pallas NMS): "
+            f"{batch_ips:.1f} img/s ({batch_ips / 10.6:.1f}x reference)")
+        extra["infer_batch32_images_per_sec"] = round(batch_ips, 1)
+        extra["infer_vs_pytorch_cpu"] = round(batch_ips / 10.6, 1)
+        save_extra()
+    except Exception as e:  # secondary metric must not kill the benchmark
+        log(f"batched infer bench failed: {e}")
+    if time.perf_counter() - t_start > 380:
+        log("skipping single-image infer bench (elapsed budget)")
         return
     try:
         infer_p50 = bench_infer(cfg)
         log(f"infer p50 (device fwd+decode+NMS): {infer_p50 * 1000:.2f} ms "
             f"({1 / infer_p50:.1f} img/s)")
+        extra["infer_single_image_p50_ms"] = round(infer_p50 * 1000, 2)
+        save_extra()
     except Exception as e:  # secondary metric must not kill the benchmark
         log(f"infer bench failed: {e}")
 

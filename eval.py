@@ -64,6 +64,45 @@ def draw_boxes(img, gt_boxes, detections, names):
     return img
 
 
+PANEL_HEIGHT = 80
+LEGEND_HEIGHT = 60
+PANEL_BG = (40, 40, 40)
+
+
+def compose_frame(img, gt_boxes, detections, names, idx, total, split,
+                  filename):
+    """Boxes + info panel (top) + GT/pred color legend (bottom)
+    (reference: eval.py:176-212). Headless — returns the frame array."""
+    import cv2
+    import numpy as np
+
+    img = draw_boxes(img, gt_boxes, detections, names)
+
+    panel = np.zeros((PANEL_HEIGHT, img.shape[1], 3), np.uint8)
+    panel[:] = PANEL_BG
+    info_text = [
+        f"Image {idx + 1}/{total} ({split} set)",
+        f"File: {filename}",
+        f"GT boxes: {len(gt_boxes)}, Predictions: {len(detections)}",
+    ]
+    y = 20
+    for text in info_text:
+        cv2.putText(panel, text, (10, y), cv2.FONT_HERSHEY_SIMPLEX, 0.6,
+                    (255, 255, 255), 1)
+        y += 25
+
+    legend = np.zeros((LEGEND_HEIGHT, img.shape[1], 3), np.uint8)
+    legend[:] = PANEL_BG
+    cv2.rectangle(legend, (10, 15), (30, 35), GT_COLOR, 2)
+    cv2.putText(legend, "Ground Truth", (40, 30), cv2.FONT_HERSHEY_SIMPLEX,
+                0.6, GT_COLOR, 2)
+    cv2.rectangle(legend, (200, 15), (220, 35), PRED_COLOR, 2)
+    cv2.putText(legend, "Prediction", (230, 30), cv2.FONT_HERSHEY_SIMPLEX,
+                0.6, PRED_COLOR, 2)
+
+    return np.vstack([panel, img, legend])
+
+
 def main():
     import cv2
 
@@ -87,7 +126,11 @@ def main():
     for split in ("train", "val"):
         d = config.get(split)
         if d:
-            images += sorted(glob.glob(f"{d}/*.jpg") + glob.glob(f"{d}/*.png"))
+            images += [
+                (p, split)
+                for p in sorted(glob.glob(f"{d}/*.jpg")
+                                + glob.glob(f"{d}/*.png"))
+            ]
     if not images:
         print("No images found in dataset")
         sys.exit(1)
@@ -96,7 +139,7 @@ def main():
 
     idx = 0
     while True:
-        path = images[idx]
+        path, split = images[idx]
         img = cv2.imread(path)
         if img is None:  # unreadable/corrupt file: skip instead of crashing
             print(f"WARNING: could not read {path}, skipping")
@@ -106,13 +149,9 @@ def main():
         label_path = Path(path).parent.parent / "labels" / f"{Path(path).stem}.txt"
         gt = load_ground_truth(label_path, w, h)
         dets = predictor(path)
-        draw_boxes(img, gt, dets, names)
-
-        info = f"[{idx + 1}/{len(images)}] {Path(path).name}  GT:{len(gt)} " \
-               f"Pred:{len(dets)}"
-        cv2.putText(img, info, (10, 20), cv2.FONT_HERSHEY_SIMPLEX, 0.6,
-                    (255, 255, 255), 2)
-        cv2.imshow("yolo-tpu eval", img)
+        frame = compose_frame(img, gt, dets, names, idx, len(images), split,
+                              Path(path).name)
+        cv2.imshow("yolo-tpu eval", frame)
 
         key = cv2.waitKey(0) & 0xFF
         if key in (ord("q"), 27):
@@ -123,7 +162,7 @@ def main():
             idx = (idx - 1) % len(images)
         elif key == ord("s"):
             out = f"screenshot_{Path(path).stem}.png"
-            cv2.imwrite(out, img)
+            cv2.imwrite(out, frame)
             print(f"Saved {out}")
     cv2.destroyAllWindows()
 

@@ -85,3 +85,32 @@ def test_checkpoint_write_is_atomic(tmp_path, cfg):
     assert not (tmp_path / "atomic.ckpt.tmp").exists()
     _, _, meta = load_checkpoint(p)
     assert meta["epoch"] == 2
+
+
+def test_none_bias_checkpoint_repaired_with_warning(cfg, tmp_path, capsys):
+    """A checkpoint missing a detection-head bias is repaired on load with
+    the objectness-prior init + a warning (reference behavior:
+    train.py:543-549, tests/test_model.py:226-246)."""
+    import math
+
+    import numpy as np
+
+    from yolo_from_scratch_tpu.models.yolo import init_model
+
+    _, variables = init_model(jax.random.PRNGKey(0), cfg)
+    params = jax.device_get(variables["params"])
+    del params["head_p3"]["pred"]["bias"]
+    p = tmp_path / "nobias.ckpt"
+    save_checkpoint(
+        p, {"params": params,
+            "batch_stats": jax.device_get(variables["batch_stats"])}, cfg
+    )
+    restored, cfg2, _ = load_checkpoint(p)
+    out = capsys.readouterr().out
+    assert "Warning: Detection head bias was None" in out
+    bias = np.asarray(restored["params"]["head_p3"]["pred"]["bias"])
+    assert bias.shape == (3 * (5 + cfg.num_classes),)
+    prior = -math.log((1.0 - 0.01) / 0.01)
+    per_anchor = bias.reshape(3, 5 + cfg.num_classes)
+    np.testing.assert_allclose(per_anchor[:, 4], prior, rtol=1e-6)
+    assert (per_anchor[:, :4] == 0).all() and (per_anchor[:, 5:] == 0).all()

@@ -204,3 +204,26 @@ def init_model(rng, cfg: YoloConfig, batch_size: int = 1):
 
 def count_params(variables) -> int:
     return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(variables["params"]))
+
+
+def ensure_detection_biases(params, cfg: YoloConfig, log=print):
+    """Repair a params tree whose detection-head final-conv bias is missing
+    or None (e.g. a hand-edited/degenerate checkpoint), re-creating it with
+    the objectness-prior init — the reference repairs and warns the same
+    way in `initialize_detection_biases` (reference: train.py:543-549).
+    Anchor heads only; returns the (possibly repaired) params."""
+    if cfg.head_type != "anchor":
+        return params
+    from yolo_from_scratch_tpu.config import NUM_ANCHORS_PER_SCALE as NA
+
+    init = _head_bias_init(NA, cfg.num_classes)
+    out_ch = NA * (5 + cfg.num_classes)
+    for head in ("head_p3", "head_p4", "head_p5"):
+        pred = params.get(head, {}).get("pred")
+        if pred is None:
+            continue
+        if pred.get("bias") is None:
+            pred["bias"] = init(None, (out_ch,), jnp.float32)
+            log("Warning: Detection head bias was None, created new bias "
+                "parameter")
+    return params

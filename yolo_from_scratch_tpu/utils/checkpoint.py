@@ -89,4 +89,13 @@ def load_checkpoint(path):
         "extra": payload.get("extra"),
         "version": int(payload.get("version", 0)),
     }
-    return payload["model"], cfg, meta
+    variables = payload["model"]
+    if isinstance(variables.get("params"), dict):
+        # degenerate checkpoints may lack a head bias — repair + warn, as
+        # the reference's initialize_detection_biases does (train.py:543-549)
+        from yolo_from_scratch_tpu.models.yolo import ensure_detection_biases
+
+        variables["params"] = ensure_detection_biases(
+            variables["params"], cfg
+        )
+    return variables, cfg, meta
