@@ -89,3 +89,23 @@ def test_overlapping_gts_both_matched():
              (12, 12, 52, 52, 0.8, 0)]]  # argmax is A (used) but IoU(B)>0.5
     mAP, _ = average_precision(dets, gts, 0.5, 1)
     assert mAP == pytest.approx(1.0)
+
+
+def test_evaluate_map_batched_matches_single(cfg, model_and_vars,
+                                             temp_dataset_dir):
+    """BatchPredictor-driven evaluate_map (padded fixed-shape chunks) must
+    produce the same mAP as the per-image Predictor path."""
+    from yolo_from_scratch_tpu.data.dataset import YoloDataset
+    from yolo_from_scratch_tpu.infer.predict import BatchPredictor, Predictor
+
+    _, variables = model_and_vars
+    ds = YoloDataset(str(temp_dataset_dir / "val" / "images"), 1,
+                     img_size=cfg.img_size)
+    single = Predictor(variables, cfg, conf_threshold=1e-3, max_outputs=64)
+    batched = BatchPredictor(variables, cfg, conf_threshold=1e-3,
+                             max_outputs=64)
+    a = evaluate_map(single, ds, max_images=3, num_classes=1)
+    # batch_size 2 with 3 images exercises the padded final chunk
+    b = evaluate_map(batched, ds, max_images=3, num_classes=1, batch_size=2)
+    assert b["map50"] == pytest.approx(a["map50"], abs=1e-6)
+    assert b["map"] == pytest.approx(a["map"], abs=1e-6)

@@ -242,10 +242,17 @@ def main(argv=None):
                         evaluate_map,
                     )
 
+                    from yolo_from_scratch_tpu.infer.predict import (
+                        BatchPredictor,
+                    )
+
                     # low threshold: mAP integrates the full PR curve, so
-                    # the low-confidence tail must not be truncated
-                    predictor = Predictor(variables, cfg, conf_threshold=1e-3,
-                                          max_outputs=300)
+                    # the low-confidence tail must not be truncated.
+                    # Batched predictor: large val sets run B=16 images
+                    # per dispatch instead of one
+                    predictor = BatchPredictor(variables, cfg,
+                                               conf_threshold=1e-3,
+                                               max_outputs=300)
                     m = evaluate_map(predictor, loader.dataset,
                                      num_classes=cfg.num_classes)
                     print(f"  mAP@0.5: {m['map50'] * 100:.2f}%")
