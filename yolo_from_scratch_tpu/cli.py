@@ -91,6 +91,10 @@ def build_parser():
                              "mAP@0.5 and mAP@[.5:.95] over the NMS "
                              "inference path (beyond the reference's "
                              "grid-aligned P/R/F1)")
+    parser.add_argument("--device-letterbox", action="store_true",
+                        help="Inference/--map: run letterbox resize+pad on "
+                             "the TPU fused with forward+NMS (host only "
+                             "decodes; one program per 256-px size bucket)")
     parser.add_argument("--resume", type=str, default=None, metavar="CKPT",
                         help="Resume training from a checkpoint (restores "
                              "params, optimizer state, and epoch — the "
@@ -191,7 +195,8 @@ def main(argv=None):
         print(f"Running inference on {image_file}")
         print(f"Model: {ckpt_file}, Classes: {cfg.num_classes}, "
               f"Image size: {cfg.img_size}")
-        predictor = Predictor(variables, cfg)
+        predictor = Predictor(variables, cfg,
+                              device_letterbox=args.device_letterbox)
         detections = predictor(image_file)
         if len(detections) == 0:
             print("No objects detected.")
@@ -250,9 +255,10 @@ def main(argv=None):
                     # the low-confidence tail must not be truncated.
                     # Batched predictor: large val sets run B=16 images
                     # per dispatch instead of one
-                    predictor = BatchPredictor(variables, cfg,
-                                               conf_threshold=1e-3,
-                                               max_outputs=300)
+                    predictor = BatchPredictor(
+                        variables, cfg, conf_threshold=1e-3, max_outputs=300,
+                        device_letterbox=args.device_letterbox,
+                    )
                     m = evaluate_map(predictor, loader.dataset,
                                      num_classes=cfg.num_classes)
                     print(f"  mAP@0.5: {m['map50'] * 100:.2f}%")

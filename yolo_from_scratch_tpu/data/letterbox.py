@@ -69,6 +69,93 @@ def letterbox_device(img, orig_w: int, orig_h: int, target_size: int):
     return jax.lax.dynamic_update_slice(canvas, x, (pad_top, pad_left, 0))
 
 
+def bucket_shape(h: int, w: int, multiple: int = 256, min_side: int = 256):
+    """Static staging-buffer shape for an (h, w) image: each side rounded
+    up to `multiple`. Bounded bucket count -> bounded jit trace count,
+    regardless of how many distinct source geometries a dataset has."""
+    bh = max(min_side, ((h + multiple - 1) // multiple) * multiple)
+    bw = max(min_side, ((w + multiple - 1) // multiple) * multiple)
+    return bh, bw
+
+
+def stage_to_bucket(arr: np.ndarray, bucket) -> np.ndarray:
+    """Copy an HWC uint8 image into the top-left of a zeroed bucket buffer
+    (the zeros are excluded from resampling by the device letterbox's
+    weight renormalization)."""
+    bh, bw = bucket
+    h, w = arr.shape[:2]
+    if h > bh or w > bw:
+        raise ValueError(f"image ({h}, {w}) exceeds bucket ({bh}, {bw})")
+    buf = np.zeros((bh, bw, 3), np.uint8)
+    buf[:h, :w] = arr
+    return buf
+
+
+def letterbox_geometry(orig_w: int, orig_h: int, target_size: int):
+    """Host-computed geometry row for `letterbox_device_bucketed`:
+    [h, w, new_h, new_w, pad_top, pad_left] (float64 floor-int math —
+    identical to the host letterbox, so the two paths can never disagree
+    on coordinates)."""
+    scale, pad_top, pad_left, new_w, new_h = letterbox_params(
+        orig_w, orig_h, target_size
+    )
+    return (
+        np.asarray(
+            [orig_h, orig_w, new_h, new_w, pad_top, pad_left], np.float32
+        ),
+        scale, pad_top, pad_left,
+    )
+
+
+def letterbox_device_bucketed(bufs, geoms, target_size: int):
+    """Batched on-device letterbox over a fixed-shape staging bucket with
+    TRACED per-image geometry — one compiled program per bucket shape, not
+    per source image size (the retrace-per-geometry problem of
+    `letterbox_device`).
+
+    Args:
+        bufs: (B, Hb, Wb, 3) uint8 staging buffers, content in the
+            top-left, zeros elsewhere (`stage_to_bucket`).
+        geoms: (B, 6) float32 [h, w, new_h, new_w, pad_top, pad_left]
+            rows from `letterbox_geometry`.
+        target_size: static output side.
+
+    Returns (B, target, target, 3) float32 in [0, 1].
+
+    Resampling is `jax.image.scale_and_translate` (static output shape,
+    traced scale/translation — it lowers to two dense weight matmuls, so
+    the resize itself runs on the MXU) with antialias, matching PIL's
+    antialiased BILINEAR within ~1 uint8 LSB; dividing by the resampled
+    content-mask renormalizes edge kernels exactly as PIL clips them.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    bh, bw = bufs.shape[1:3]
+    pad_val = jnp.asarray([c / 255.0 for c in PAD_COLOR], jnp.float32)
+
+    def one(buf, geom):
+        h, w, new_h, new_w, pad_top, pad_left = (geom[i] for i in range(6))
+        rows = jax.lax.broadcasted_iota(jnp.float32, (bh, bw, 1), 0)
+        cols = jax.lax.broadcasted_iota(jnp.float32, (bh, bw, 1), 1)
+        mask = ((rows < h) & (cols < w)).astype(jnp.float32)
+        x = buf.astype(jnp.float32) / 255.0
+        scale_vec = jnp.stack([new_h / h, new_w / w, jnp.float32(1.0)])
+        trans_vec = jnp.stack([pad_top, pad_left, jnp.float32(0.0)])
+        num = jax.image.scale_and_translate(
+            x, (target_size, target_size, 3), (0, 1, 2), scale_vec,
+            trans_vec, method="linear", antialias=True,
+        )
+        den = jax.image.scale_and_translate(
+            mask, (target_size, target_size, 1), (0, 1, 2), scale_vec,
+            trans_vec, method="linear", antialias=True,
+        )
+        content = num / jnp.maximum(den, 1e-6)
+        return jnp.where(den > 0.5, content, pad_val)
+
+    return jax.vmap(one)(bufs, geoms)
+
+
 def adjust_boxes_for_letterbox(boxes, orig_w, orig_h, scale, pad_top, pad_left,
                                target_size):
     """Map normalized YOLO boxes from original-image coords to letterboxed

@@ -222,17 +222,69 @@ def make_batch_postprocess(model: YOLO, cfg: YoloConfig, conf_threshold=0.5,
     return postprocess
 
 
+def _stage_batch(arrs, img_size):
+    """Host staging for the device-letterbox path: raw decoded HWC uint8
+    arrays -> (bufs (B, Hb, Wb, 3), geoms (B, 6), scales (B,)) with one
+    shared bucket (component-wise max) so the whole batch is one program."""
+    from yolo_from_scratch_tpu.data.letterbox import (
+        bucket_shape,
+        letterbox_geometry,
+        stage_to_bucket,
+    )
+
+    buckets = [bucket_shape(a.shape[0], a.shape[1]) for a in arrs]
+    bucket = (max(b[0] for b in buckets), max(b[1] for b in buckets))
+    bufs = np.stack([stage_to_bucket(a, bucket) for a in arrs])
+    geoms, scales = [], []
+    for a in arrs:
+        geom, scale, _, _ = letterbox_geometry(a.shape[1], a.shape[0],
+                                               img_size)
+        geoms.append(geom)
+        scales.append(scale)
+    return bufs, np.stack(geoms), np.asarray(scales, np.float32)
+
+
+def _wrap_device_letterbox(inner_post, img_size):
+    """Fuse on-device letterbox + forward + postprocess into one jitted
+    program (one trace per staging-bucket shape)."""
+    from yolo_from_scratch_tpu.data.letterbox import letterbox_device_bucketed
+
+    @jax.jit
+    def post_lb(variables, bufs, geoms, scales):
+        imgs = letterbox_device_bucketed(bufs, geoms, img_size)
+        return inner_post(variables, imgs, scales, geoms[:, 4], geoms[:, 5])
+
+    return post_lb
+
+
 class Predictor:
-    """Reusable single-image predictor (compiles once per config)."""
+    """Reusable single-image predictor (compiles once per config).
+
+    `device_letterbox=True` moves the resize/pad onto the TPU
+    (`letterbox_device_bucketed`): the host only decodes, and letterbox +
+    forward + NMS run as one program (one trace per 256-px size bucket).
+    """
 
     def __init__(self, variables, cfg: YoloConfig, conf_threshold=0.5,
-                 iou_threshold=0.4, topk=None, max_outputs=None):
+                 iou_threshold=0.4, topk=None, max_outputs=None,
+                 device_letterbox=False):
         self.cfg = cfg
         self.variables = variables
         self.model = YOLO(cfg)
+        self.device_letterbox = device_letterbox
         self._post = make_postprocess(
             self.model, cfg, conf_threshold, iou_threshold, topk, max_outputs
         )
+        if device_letterbox:
+            # the single-image path reuses the batched program at B=1
+            self._batch_post = make_batch_postprocess(
+                self.model, cfg, conf_threshold, iou_threshold, topk,
+                max_outputs or topk or default_topk(
+                    cfg.img_size, 1 if cfg.head_type == "anchor_free" else 3
+                ),
+            )
+            self._post_lb = _wrap_device_letterbox(self._batch_post,
+                                                   cfg.img_size)
 
     def __call__(self, image):
         """image: path or PIL.Image. Returns [(x1, y1, x2, y2, conf, cls), ...]
@@ -242,6 +294,21 @@ class Predictor:
         pil = Image.open(image).convert("RGB") if not hasattr(image, "size") else (
             image.convert("RGB")
         )
+        if self.device_letterbox:
+            bufs, geoms, scales = _stage_batch(
+                [np.asarray(pil, np.uint8)], self.cfg.img_size
+            )
+            boxes, scores, classes, valid = (
+                np.asarray(r)[0] for r in jax.device_get(
+                    self._post_lb(self.variables, jnp.asarray(bufs),
+                                  jnp.asarray(geoms), jnp.asarray(scales))
+                )
+            )
+            return [
+                (float(b[0]), float(b[1]), float(b[2]), float(b[3]),
+                 float(s), int(c))
+                for b, s, c, v in zip(boxes, scores, classes, valid) if v
+            ]
         img_u8, scale, pad_top, pad_left = letterbox_image(pil, self.cfg.img_size)
         img = jnp.asarray(img_u8, jnp.float32)[None] / 255.0
 
@@ -270,27 +337,48 @@ def predict(variables, cfg, image_path, conf_threshold=0.5, iou_threshold=0.4):
 
 
 class BatchPredictor:
-    """Batched serving predictor over image files / PIL images."""
+    """Batched serving predictor over image files / PIL images.
+
+    `device_letterbox=True`: the host only decodes; resize/pad/normalize +
+    forward + NMS run as ONE device program per batch (staging buffers
+    bucketed to 256-px multiples bound the trace count)."""
 
     def __init__(self, variables, cfg: YoloConfig, conf_threshold=0.5,
-                 iou_threshold=0.4, max_outputs=300):
+                 iou_threshold=0.4, max_outputs=300, device_letterbox=False):
         self.cfg = cfg
         self.variables = variables
         self.model = YOLO(cfg)
+        self.device_letterbox = device_letterbox
         self._post = make_batch_postprocess(
             self.model, cfg, conf_threshold, iou_threshold,
             max_outputs=max_outputs,
         )
+        if device_letterbox:
+            self._post_lb = _wrap_device_letterbox(self._post, cfg.img_size)
 
     def __call__(self, images):
         """images: list of paths or PIL images. Returns a list (per image)
         of [(x1, y1, x2, y2, conf, cls), ...] in original coordinates."""
         from PIL import Image
 
+        pils = [
+            (Image.open(image).convert("RGB")
+             if not hasattr(image, "size") else image.convert("RGB"))
+            for image in images
+        ]
+        if self.device_letterbox:
+            bufs, geoms, sc = _stage_batch(
+                [np.asarray(p, np.uint8) for p in pils], self.cfg.img_size
+            )
+            boxes, scores, classes, valid = jax.device_get(
+                self._post_lb(self.variables, jnp.asarray(bufs),
+                              jnp.asarray(geoms), jnp.asarray(sc))
+            )
+            return _detections_per_image(boxes, scores, classes, valid,
+                                         len(images))
+
         imgs, scales, pts, pls = [], [], [], []
-        for image in images:
-            pil = (Image.open(image).convert("RGB")
-                   if not hasattr(image, "size") else image.convert("RGB"))
+        for pil in pils:
             arr, scale, pad_top, pad_left = letterbox_image(
                 pil, self.cfg.img_size
             )
@@ -308,14 +396,17 @@ class BatchPredictor:
                 jnp.asarray(pls, jnp.float32),
             )
         )
-        out = []
-        for b in range(len(images)):
-            dets = [
-                (float(bx[0]), float(bx[1]), float(bx[2]), float(bx[3]),
-                 float(s), int(c))
-                for bx, s, c, v in zip(boxes[b], scores[b], classes[b],
-                                       valid[b])
-                if v
-            ]
-            out.append(dets)
-        return out
+        return _detections_per_image(boxes, scores, classes, valid,
+                                     len(images))
+
+
+def _detections_per_image(boxes, scores, classes, valid, n):
+    out = []
+    for b in range(n):
+        out.append([
+            (float(bx[0]), float(bx[1]), float(bx[2]), float(bx[3]),
+             float(s), int(c))
+            for bx, s, c, v in zip(boxes[b], scores[b], classes[b], valid[b])
+            if v
+        ])
+    return out
