@@ -218,9 +218,7 @@ def restore_train_state(ckpt_path, tx):
     if "raw_params" in extra:
         ema_vars = {"params": variables["params"],
                     "batch_stats": variables["batch_stats"]}
-    from yolo_from_scratch_tpu.train.steps import init_opt_state
-
-    opt_state = init_opt_state(tx, params)
+    opt_state = tx.init(params)
     if meta.get("opt_state") is not None:
         opt_state = serialization.from_state_dict(opt_state, meta["opt_state"])
     step = int(extra.get("step", 0))
