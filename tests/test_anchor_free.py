@@ -8,6 +8,8 @@ import pytest
 
 from yolo_from_scratch_tpu.config import YoloConfig
 from yolo_from_scratch_tpu.models.anchor_free import (
+    MAX_GT,
+    REG_MAX,
     assign_targets_anchor_free,
     decode_anchor_free,
     yolo_loss_anchor_free,
@@ -30,28 +32,40 @@ def test_head_output_shapes(cfg_af, model_vars_af):
     model, variables = model_vars_af
     x = jnp.zeros((2, 128, 128, 3))
     outs = model.apply(variables, x, train=False)
-    # 4 box + nc class channels, one prediction per cell
-    assert outs[0].shape == (2, 16, 16, 7)
-    assert outs[1].shape == (2, 8, 8, 7)
-    assert outs[2].shape == (2, 4, 4, 7)
+    # 4*REG_MAX DFL distribution + nc class channels, one pred per cell
+    d = 4 * REG_MAX + 3
+    assert outs[0].shape == (2, 16, 16, d)
+    assert outs[1].shape == (2, 8, 8, d)
+    assert outs[2].shape == (2, 4, 4, d)
 
 
 def test_decode_geometry():
-    raw = np.zeros((1, 4, 4, 6), np.float32)
-    raw[0, 1, 2, 0:4] = [1.0, 1.0, 1.0, 1.0]  # softplus(1) ~ 1.3133 strides
+    # one-hot DFL distributions: edge distance = the hot bin index
+    raw = np.zeros((1, 4, 4, 4 * REG_MAX + 2), np.float32)
+    for edge, k in enumerate((3, 1, 2, 5)):  # l, t, r, b in stride units
+        raw[0, 1, 2, edge * REG_MAX + k] = 30.0  # ~delta distribution
     out = np.asarray(decode_anchor_free(jnp.asarray(raw), 32, 128))
-    sp1 = np.log1p(np.exp(1.0))
-    # cell (row 1, col 2), stride 32, img 128: center = ((2.5*32)/128, (1.5*32)/128)
-    assert out[0, 1, 2, 0] == pytest.approx(2.5 * 32 / 128, abs=1e-5)
-    assert out[0, 1, 2, 1] == pytest.approx(1.5 * 32 / 128, abs=1e-5)
-    assert out[0, 1, 2, 2] == pytest.approx(2 * sp1 * 32 / 128, abs=1e-4)
+    # cell (row 1, col 2), stride 32, img 128: center of the cell is
+    # ((2.5*32)/128, (1.5*32)/128); box spans center -(l,t) .. +(r,b)
+    su = 32 / 128
+    cx, cy = 2.5 * su, 1.5 * su
+    x1, y1, x2, y2 = cx - 3 * su, cy - 1 * su, cx + 2 * su, cy + 5 * su
+    assert out[0, 1, 2, 0] == pytest.approx((x1 + x2) / 2, abs=1e-4)
+    assert out[0, 1, 2, 1] == pytest.approx((y1 + y2) / 2, abs=1e-4)
+    assert out[0, 1, 2, 2] == pytest.approx(x2 - x1, abs=1e-4)
+    assert out[0, 1, 2, 3] == pytest.approx(y2 - y1, abs=1e-4)
     # class logits pass through
-    np.testing.assert_array_equal(out[..., 4:], raw[..., 4:])
+    np.testing.assert_array_equal(out[..., 4:], raw[..., 4 * REG_MAX:])
+    # zero logits -> uniform distribution -> expectation (REG_MAX-1)/2
+    raw0 = np.zeros((1, 4, 4, 4 * REG_MAX + 2), np.float32)
+    out0 = np.asarray(decode_anchor_free(jnp.asarray(raw0), 32, 128))
+    assert out0[0, 0, 0, 2] == pytest.approx((REG_MAX - 1) * su, abs=1e-4)
 
 
 def test_decode_boxes_positive():
     rng = np.random.default_rng(0)
-    raw = jnp.asarray(rng.normal(0, 1, (2, 16, 16, 6)), jnp.float32)
+    raw = jnp.asarray(rng.normal(0, 1, (2, 16, 16, 4 * REG_MAX + 2)),
+                      jnp.float32)
     out = np.asarray(decode_anchor_free(raw, 8, 128))
     assert (out[..., 2] > 0).all() and (out[..., 3] > 0).all()
 
@@ -76,7 +90,7 @@ def test_assignment_by_size():
 def test_loss_finite_and_grads(cfg_af):
     rng = np.random.default_rng(1)
     preds = [
-        jnp.asarray(rng.normal(0, 1, (2, g, g, 7)), jnp.float32)
+        jnp.asarray(rng.normal(0, 1, (2, g, g, 4 * REG_MAX + 3)), jnp.float32)
         for g in (16, 8, 4)
     ]
     t = assign_targets_anchor_free(
@@ -165,3 +179,133 @@ def test_checkpoint_roundtrip_anchor_free(cfg_af, model_vars_af, tmp_path):
     loaded, cfg2, meta = load_checkpoint(p)
     assert cfg2.head_type == "anchor_free"
     assert cfg2.num_classes == 3
+
+
+def test_gather_gt_roundtrip():
+    """The padded GT set extracted from the dense transport maps matches
+    the original boxes/classes."""
+    from yolo_from_scratch_tpu.models.anchor_free import _gather_gt
+
+    boxes = np.array(
+        [[0.3, 0.3, 0.05, 0.05], [0.5, 0.5, 0.2, 0.2], [0.7, 0.7, 0.6, 0.6]],
+        np.float32,
+    )
+    cls_ids = np.array([0, 1, 2])
+    t = assign_targets_anchor_free(boxes, cls_ids, 128, 3)
+    tgts = [jnp.asarray(x[None]) for x in t]
+    gt_boxes, gt_cls, gt_valid = _gather_gt(tgts, 3)
+    assert gt_boxes.shape == (1, MAX_GT, 4)
+    assert int(gt_valid.sum()) == 3
+    got = {tuple(np.round(np.asarray(b), 4)) for b, v in
+           zip(np.asarray(gt_boxes[0]), np.asarray(gt_valid[0])) if v}
+    want = {tuple(np.round(b, 4)) for b in boxes}
+    assert got == want
+    for b, c, v in zip(np.asarray(gt_boxes[0]), np.asarray(gt_cls[0]),
+                       np.asarray(gt_valid[0])):
+        if v:
+            i = [tuple(np.round(x, 4)) for x in boxes].index(
+                tuple(np.round(b, 4)))
+            assert c[cls_ids[i]] == 1.0
+
+
+def test_tal_assigns_well_predicted_cell():
+    """A cell inside the GT whose prediction matches the GT box and class
+    must be assigned foreground with the top target score."""
+    from yolo_from_scratch_tpu.models.anchor_free import (
+        _anchor_points,
+        tal_assign,
+    )
+
+    img = 128
+    pts, _ = _anchor_points(img)
+    a = pts.shape[0]
+    nc = 2
+    gt = np.zeros((1, MAX_GT, 4), np.float32)
+    gt[0, 0] = [0.5, 0.5, 0.3, 0.3]
+    gt_cls = np.zeros((1, MAX_GT, nc), np.float32)
+    gt_cls[0, 0, 1] = 1.0
+    gt_valid = np.zeros((1, MAX_GT), np.float32)
+    gt_valid[0, 0] = 1.0
+
+    # all cells predict a bad box except the one nearest the GT center
+    pred_xyxy = np.tile(np.array([0.0, 0.0, 0.01, 0.01], np.float32),
+                        (1, a, 1))
+    scores = np.full((1, a, nc), 0.01, np.float32)
+    best = int(np.argmin(np.sum((pts - [0.5, 0.5]) ** 2, axis=1)))
+    pred_xyxy[0, best] = [0.35, 0.35, 0.65, 0.65]
+    scores[0, best, 1] = 0.9
+
+    out = tal_assign(jnp.asarray(scores), jnp.asarray(pred_xyxy),
+                     jnp.asarray(pts), jnp.asarray(gt), jnp.asarray(gt_cls),
+                     jnp.asarray(gt_valid))
+    fg = np.asarray(out["fg"][0])
+    assert fg[best] == 1.0
+    ts = np.asarray(out["target_scores"][0])
+    assert ts[best, 1] == ts[..., 1].max() > 0.5
+    assert ts[:, 0].max() == 0.0  # only the GT's class gets mass
+    tb = np.asarray(out["target_boxes"][0, best])
+    np.testing.assert_allclose(tb, gt[0, 0], atol=1e-6)
+    # candidate cap respected
+    assert fg.sum() <= 10
+
+
+def test_tal_no_gt_all_background():
+    from yolo_from_scratch_tpu.models.anchor_free import (
+        _anchor_points,
+        tal_assign,
+    )
+
+    pts, _ = _anchor_points(64)
+    a = pts.shape[0]
+    out = tal_assign(
+        jnp.full((1, a, 1), 0.5), jnp.zeros((1, a, 4)), jnp.asarray(pts),
+        jnp.zeros((1, MAX_GT, 4)), jnp.zeros((1, MAX_GT, 1)),
+        jnp.zeros((1, MAX_GT)),
+    )
+    assert float(out["fg"].sum()) == 0.0
+    assert float(out["target_scores"].sum()) == 0.0
+
+
+def test_dfl_loss_prefers_correct_bins():
+    from yolo_from_scratch_tpu.models.anchor_free import _dfl_loss
+
+    target = jnp.asarray([[2.0, 3.5, 0.0, 14.9]])
+    good = np.zeros((1, 4, REG_MAX), np.float32)
+    good[0, 0, 2] = 10.0
+    good[0, 1, 3] = 10.0
+    good[0, 1, 4] = 10.0  # 3.5 -> split between bins 3 and 4
+    good[0, 2, 0] = 10.0
+    good[0, 3, 15] = 10.0
+    bad = np.roll(good, 5, axis=-1)
+    l_good = float(_dfl_loss(jnp.asarray(good), target)[0])
+    l_bad = float(_dfl_loss(jnp.asarray(bad), target)[0])
+    assert l_good < l_bad
+
+
+def test_tal_loss_learns_synthetic(cfg_af):
+    """A few gradient steps on a fixed batch must reduce the TAL loss."""
+    import optax
+
+    rng = np.random.default_rng(0)
+    preds_shapes = [(1, 16, 16, 4 * REG_MAX + 3), (1, 8, 8, 4 * REG_MAX + 3),
+                    (1, 4, 4, 4 * REG_MAX + 3)]
+    params = [jnp.asarray(rng.normal(0, 0.1, s), jnp.float32)
+              for s in preds_shapes]
+    t = assign_targets_anchor_free(
+        np.array([[0.5, 0.5, 0.25, 0.25]], np.float32), np.array([1]), 128, 3
+    )
+    tgts = [jnp.asarray(x[None]) for x in t]
+
+    def loss(ps):
+        return yolo_loss_anchor_free(ps, tgts, 3, 128)[0]
+
+    tx = optax.adam(0.05)
+    opt = tx.init(params)
+    l0 = float(loss(params))
+    step = jax.jit(lambda ps, op: (lambda g: tx.update(g, op, ps))(
+        jax.grad(loss)(ps)))
+    for _ in range(20):
+        updates, opt = step(params, opt)
+        params = optax.apply_updates(params, updates)
+    l1 = float(loss(params))
+    assert l1 < l0 * 0.5, (l0, l1)

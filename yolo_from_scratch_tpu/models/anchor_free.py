@@ -4,15 +4,28 @@ detection-head + NMS API YOLOv8-style)"). Not present in the reference;
 this extends the framework's detect API with a second head family behind
 the same model/loss/NMS plumbing.
 
-Design (simplified v8):
-- decoupled branches per scale: a box branch (2x ConvBNSiLU + 1x1 -> 4)
-  regressing (l, t, r, b) edge distances in stride units via softplus, and
-  a class branch (2x ConvBNSiLU + 1x1 -> nc) with objectness folded into
-  the class scores (prior-initialized bias);
-- one prediction per cell (no anchors); decode maps cell centers + ltrb
-  to normalized center-format boxes, reusing the same NMS kernels;
-- assignment: a GT lands in the cell containing its center at the scale
-  chosen by its size (simplified center assigner, not TAL).
+Round-2 design (real v8 training recipe, fully dense/jittable):
+- decoupled branches per scale: a box branch emitting 4*REG_MAX
+  distribution logits (DFL: each edge distance l/t/r/b is a softmax over
+  REG_MAX bins in stride units, decoded as the distribution's
+  expectation) and a class branch (objectness folded into class scores,
+  prior-initialized bias);
+- Task-Aligned Assignment (TAL), computed inside the training step from
+  the CURRENT predictions: per GT, candidate cells are those whose center
+  lies inside the GT box; the top-k by the alignment metric
+  score^alpha * IoU^beta are assigned; a cell claimed by several GTs goes
+  to the one with the highest metric. Classification targets are the
+  IoU-normalized alignment scores (soft), box/DFL losses are weighted by
+  them — the v8 recipe, replacing round 1's size-routed center assigner;
+- the DATA pipeline is untouched: the dense per-scale target maps from
+  `assign_targets_anchor_free` are used only as transport (each GT
+  occupies exactly one cell), and the loss gathers them back into a
+  padded (M, 4+nc) GT set on-device before assignment. The cell a GT
+  rides in has no effect on TAL training.
+
+Everything is static-shape: the assignment is a dense (B, M, A) tensor
+program (M = MAX_GT padded GT slots, A = all cells across scales), no
+sorting-by-content or dynamic gathers.
 """
 
 from __future__ import annotations
@@ -24,9 +37,16 @@ from flax import linen as nn
 
 from yolo_from_scratch_tpu.models.blocks import ConvBNSiLU, torch_kernel_init
 
+REG_MAX = 16      # DFL bins per edge distance (v8 default)
+MAX_GT = 32       # padded GT slots per image in the TAL loss
+TAL_TOPK = 10     # candidates per GT
+TAL_ALPHA = 0.5   # alignment = score^alpha * iou^beta (v8 defaults)
+TAL_BETA = 6.0
+
 
 class DecoupledHead(nn.Module):
-    """Box + class branches -> (B, H, W, 4 + nc)."""
+    """Box (DFL distribution) + class branches
+    -> (B, H, W, 4 * REG_MAX + nc)."""
 
     channels: int
     num_classes: int
@@ -42,7 +62,7 @@ class DecoupledHead(nn.Module):
         )
         from yolo_from_scratch_tpu.models.blocks import torch_bias_init_for
 
-        box = nn.Conv(4, (1, 1), use_bias=True, dtype=self.dtype,
+        box = nn.Conv(4 * REG_MAX, (1, 1), use_bias=True, dtype=self.dtype,
                       param_dtype=jnp.float32, kernel_init=torch_kernel_init,
                       bias_init=torch_bias_init_for(box.shape[-1]),
                       name="box_pred")(box)
@@ -69,16 +89,25 @@ def _cls_prior_bias(key, shape, dtype=jnp.float32, prior=0.01):
     return jnp.full(shape, -math.log((1 - prior) / prior), dtype)
 
 
-def decode_anchor_free(raw, stride, img_size):
-    """Decode (B, H, W, 4+nc) raw head output to normalized center-format
-    boxes + passthrough class logits.
+def dfl_expectation(dist_logits):
+    """(..., 4, REG_MAX) logits -> (..., 4) expected distances (stride
+    units): softmax over bins, dotted with bin indices."""
+    probs = jax.nn.softmax(dist_logits, axis=-1)
+    bins = jnp.arange(REG_MAX, dtype=probs.dtype)
+    return jnp.sum(probs * bins, axis=-1)
 
-    ltrb = softplus(raw[..., :4]) in stride units; the box spans
+
+def decode_anchor_free(raw, stride, img_size):
+    """Decode (B, H, W, 4*REG_MAX + nc) raw head output to normalized
+    center-format boxes + passthrough class logits -> (B, H, W, 4 + nc).
+
+    ltrb = DFL expectation in stride units; the box spans
     [center - (l, t), center + (r, b)] in pixels.
     """
-    _, h, w, _ = raw.shape
+    b, h, w, _ = raw.shape
     dtype = raw.dtype
-    ltrb = jax.nn.softplus(raw[..., 0:4]) * (stride / img_size)
+    dist = raw[..., : 4 * REG_MAX].reshape(b, h, w, 4, REG_MAX)
+    ltrb = dfl_expectation(dist) * (stride / img_size)
     cx = (jax.lax.broadcasted_iota(dtype, (1, h, w), 2) + 0.5) * (
         stride / img_size
     )
@@ -92,11 +121,13 @@ def decode_anchor_free(raw, stride, img_size):
     boxes = jnp.stack(
         [(x1 + x2) / 2, (y1 + y2) / 2, x2 - x1, y2 - y1], axis=-1
     )
-    return jnp.concatenate([boxes, raw[..., 4:]], axis=-1)
+    return jnp.concatenate([boxes, raw[..., 4 * REG_MAX:]], axis=-1)
 
 
 # size thresholds (fraction of image) routing a GT to P3/P4/P5 in the
-# simplified center assigner
+# dense TRANSPORT maps (the cell choice is irrelevant to TAL training —
+# the loss gathers GTs back out; kept size-routed so the legacy
+# grid-aligned eval metric stays meaningful)
 AF_SCALE_THRESHOLDS = (0.1, 0.25)
 
 
@@ -107,7 +138,9 @@ def assign_targets_anchor_free(boxes: np.ndarray, class_ids: np.ndarray,
     Channel layout: 0:4 box (normalized cx, cy, w, h), 4 assigned flag,
     5: one-hot class. A GT goes to the single cell containing its center
     at the scale picked by max(w, h): <=10% of image -> P3, <=25% -> P4,
-    else P5. First GT wins an occupied cell.
+    else P5. First GT wins an occupied cell. These maps are TRANSPORT for
+    the TAL loss (see module docstring) and the target for the
+    grid-aligned eval metric.
     """
     from yolo_from_scratch_tpu.config import STRIDES
 
@@ -121,8 +154,8 @@ def assign_targets_anchor_free(boxes: np.ndarray, class_ids: np.ndarray,
             1 if size <= AF_SCALE_THRESHOLDS[1] else 2
         )
         gs = grid_sizes[s]
-        gx = min(int(boxes[n, 0] * gs), gs - 1)
-        gy = min(int(boxes[n, 1] * gs), gs - 1)
+        gx = max(0, min(int(boxes[n, 0] * gs), gs - 1))
+        gy = max(0, min(int(boxes[n, 1] * gs), gs - 1))
         t = targets[s]
         if t[gy, gx, 4] == 0:
             t[gy, gx, 0:4] = boxes[n]
@@ -131,26 +164,202 @@ def assign_targets_anchor_free(boxes: np.ndarray, class_ids: np.ndarray,
     return targets
 
 
+def _anchor_points(img_size):
+    """Normalized cell centers + per-cell stride over all scales, flattened:
+    (A, 2) points, (A,) strides (pixels)."""
+    from yolo_from_scratch_tpu.config import STRIDES
+
+    pts, strides = [], []
+    for s in STRIDES:
+        g = img_size // s
+        xs = (np.arange(g, dtype=np.float32) + 0.5) * (s / img_size)
+        cx, cy = np.meshgrid(xs, xs)  # cx varies along axis 1
+        pts.append(np.stack([cx.ravel(), cy.ravel()], axis=1))
+        strides.append(np.full(g * g, s, np.float32))
+    return np.concatenate(pts), np.concatenate(strides)
+
+
+def _gather_gt(targets, num_classes, max_gt=MAX_GT):
+    """Pull the padded GT set back out of the dense transport maps.
+
+    targets: [(B, gs, gs, 4+1+nc)] x3 ->
+    (gt_boxes (B, M, 4) cxcywh norm, gt_cls (B, M, nc) one-hot,
+     gt_valid (B, M) float 0/1)."""
+    b = targets[0].shape[0]
+    d = 4 + 1 + num_classes
+    flat = jnp.concatenate([t.reshape(b, -1, d) for t in targets], axis=1)
+    flags = flat[..., 4]
+    # top_k is stable: assigned cells (flag 1) come first, index order
+    _, idx = jax.lax.top_k(flags, max_gt)
+    rows = jnp.take_along_axis(flat, idx[..., None], axis=1)
+    return rows[..., 0:4], rows[..., 5:], rows[..., 4]
+
+
+def _pairwise_iou_xyxy(gt, pred):
+    """gt (B, M, 4) xyxy vs pred (B, A, 4) xyxy -> (B, M, A)."""
+    gt = gt[:, :, None, :]
+    pred = pred[:, None, :, :]
+    ix1 = jnp.maximum(gt[..., 0], pred[..., 0])
+    iy1 = jnp.maximum(gt[..., 1], pred[..., 1])
+    ix2 = jnp.minimum(gt[..., 2], pred[..., 2])
+    iy2 = jnp.minimum(gt[..., 3], pred[..., 3])
+    inter = jnp.clip(ix2 - ix1, 0) * jnp.clip(iy2 - iy1, 0)
+    a_gt = (gt[..., 2] - gt[..., 0]) * (gt[..., 3] - gt[..., 1])
+    a_pr = (pred[..., 2] - pred[..., 0]) * (pred[..., 3] - pred[..., 1])
+    return inter / (a_gt + a_pr - inter + 1e-9)
+
+
+def tal_assign(pred_scores, pred_xyxy, anchor_pts, gt_boxes, gt_cls,
+               gt_valid, topk=TAL_TOPK, alpha=TAL_ALPHA, beta=TAL_BETA):
+    """Task-aligned assignment (dense, static shapes).
+
+    Args:
+        pred_scores: (B, A, nc) sigmoid class scores.
+        pred_xyxy: (B, A, 4) decoded boxes, normalized corners.
+        anchor_pts: (A, 2) normalized cell centers.
+        gt_boxes: (B, M, 4) cxcywh normalized.
+        gt_cls: (B, M, nc) one-hot.
+        gt_valid: (B, M) 0/1.
+
+    Returns dict with:
+        fg (B, A) float 0/1 foreground mask;
+        target_boxes (B, A, 4) assigned GT (cxcywh);
+        target_scores (B, A, nc) soft cls targets (IoU-normalized align);
+    """
+    gt_xyxy = jnp.concatenate(
+        [gt_boxes[..., 0:2] - gt_boxes[..., 2:4] / 2,
+         gt_boxes[..., 0:2] + gt_boxes[..., 2:4] / 2], axis=-1
+    )
+    # candidates: anchor center strictly inside the GT box
+    ax = anchor_pts[None, None, :, 0]
+    ay = anchor_pts[None, None, :, 1]
+    in_gt = (
+        (ax > gt_xyxy[..., 0:1]) & (ax < gt_xyxy[..., 2:3])
+        & (ay > gt_xyxy[..., 1:2]) & (ay < gt_xyxy[..., 3:4])
+    ).astype(pred_scores.dtype)                      # (B, M, A)
+
+    iou = _pairwise_iou_xyxy(gt_xyxy, pred_xyxy)     # (B, M, A)
+    # score of each anchor for its GT's class
+    gt_score = jnp.einsum("bac,bmc->bma", pred_scores, gt_cls)
+    align = (
+        jnp.power(jnp.clip(gt_score, 1e-9), alpha)
+        * jnp.power(jnp.clip(iou, 1e-9), beta)
+        * in_gt * gt_valid[..., None]
+    )
+
+    # top-k candidates per GT: threshold at the k-th largest align value
+    kth = jax.lax.top_k(align, topk)[0][..., -1:]    # (B, M, 1)
+    cand = (align >= kth) & (align > 0)              # (B, M, A) bool
+
+    # conflict resolution: an anchor claimed by several GTs goes to the
+    # one with the highest align metric
+    align_c = jnp.where(cand, align, 0.0)
+    best_gt = jnp.argmax(align_c, axis=1)            # (B, A)
+    best_val = jnp.max(align_c, axis=1)              # (B, A)
+    fg = (best_val > 0).astype(pred_scores.dtype)
+
+    onehot_m = jax.nn.one_hot(best_gt, gt_boxes.shape[1],
+                              dtype=pred_scores.dtype)  # (B, A, M)
+    assigned = onehot_m * fg[..., None]              # anchor->GT matrix
+
+    target_boxes = jnp.einsum("bam,bmk->bak", assigned, gt_boxes)
+
+    # v8 normalization: per GT, scale align so its max equals the GT's max
+    # IoU; soft cls target = one-hot(class) * normalized align at anchor
+    align_res = align * jnp.transpose(assigned, (0, 2, 1))  # keep winners
+    max_align = jnp.max(align_res, axis=2, keepdims=True)   # (B, M, 1)
+    max_iou = jnp.max(iou * jnp.transpose(assigned, (0, 2, 1)), axis=2,
+                      keepdims=True)
+    norm = max_iou / jnp.maximum(max_align, 1e-9)           # (B, M, 1)
+    anchor_align = jnp.einsum("bma,bam->ba", align_res * norm, onehot_m)
+    target_cls_onehot = jnp.einsum("bam,bmc->bac", assigned, gt_cls)
+    target_scores = target_cls_onehot * anchor_align[..., None]
+
+    return {"fg": fg, "target_boxes": target_boxes,
+            "target_scores": target_scores}
+
+
+def _dfl_loss(dist_logits, target_ltrb):
+    """Distribution focal loss: cross-entropy against the two integer bins
+    bracketing each target distance, linearly weighted (v8). Shapes:
+    dist_logits (..., 4, REG_MAX), target_ltrb (..., 4) in stride units.
+    Returns per-element loss summed over the 4 edges: (...)."""
+    t = jnp.clip(target_ltrb, 0.0, REG_MAX - 1 - 1e-3)
+    tl = jnp.floor(t)
+    wr = t - tl
+    wl = 1.0 - wr
+    logp = jax.nn.log_softmax(dist_logits, axis=-1)
+    tl_i = tl.astype(jnp.int32)
+    lp_l = jnp.take_along_axis(logp, tl_i[..., None], axis=-1)[..., 0]
+    lp_r = jnp.take_along_axis(logp, (tl_i + 1)[..., None], axis=-1)[..., 0]
+    return jnp.sum(-(wl * lp_l + wr * lp_r), axis=-1)
+
+
 def yolo_loss_anchor_free(predictions, targets, num_classes, img_size,
-                          box_weight=5.0, cls_weight=0.5):
-    """Multi-scale anchor-free loss: masked CIoU on assigned cells + BCE
-    class scores over ALL cells (objectness folded into cls, zeros at
-    unassigned cells). Returns (total, bbox, cls)."""
+                          box_weight=7.5, cls_weight=0.5, dfl_weight=1.5):
+    """v8-recipe anchor-free loss: TAL assignment from the current
+    predictions, then BCE on soft class targets over ALL cells + CIoU +
+    DFL on assigned cells, all weighted by the alignment scores.
+    Returns (total, bbox, cls) — same contract as round 1."""
     import optax
 
     from yolo_from_scratch_tpu.config import STRIDES
-    from yolo_from_scratch_tpu.ops.ciou import ciou_loss
+    from yolo_from_scratch_tpu.ops.ciou import ciou
 
-    total = bbox_t = cls_t = 0.0
-    for pred, tgt, stride in zip(predictions, targets, STRIDES):
-        decoded = decode_anchor_free(pred, stride, img_size)
-        assigned = tgt[..., 4] > 0.5
-        bbox = ciou_loss(decoded[..., 0:4], tgt[..., 0:4], mask=assigned)
-        cls_target = tgt[..., 5:] * tgt[..., 4:5]
-        cls = jnp.mean(
-            optax.sigmoid_binary_cross_entropy(pred[..., 4:], cls_target)
+    b = predictions[0].shape[0]
+    pts_np, strides_np = _anchor_points(img_size)
+    anchor_pts = jnp.asarray(pts_np)
+    strides = jnp.asarray(strides_np)
+
+    # flatten all scales: dist logits, cls logits, decoded boxes
+    dist_all, cls_all, boxes_all = [], [], []
+    for pred, stride in zip(predictions, STRIDES):
+        _, h, w, _ = pred.shape
+        dist_all.append(
+            pred[..., : 4 * REG_MAX].reshape(b, h * w, 4, REG_MAX)
         )
-        total = total + box_weight * bbox + cls_weight * cls
-        bbox_t = bbox_t + bbox
-        cls_t = cls_t + cls
-    return total, bbox_t, cls_t
+        cls_all.append(pred[..., 4 * REG_MAX:].reshape(b, h * w, num_classes))
+        decoded = decode_anchor_free(pred, stride, img_size)
+        boxes_all.append(decoded[..., 0:4].reshape(b, h * w, 4))
+    dist = jnp.concatenate(dist_all, axis=1).astype(jnp.float32)
+    cls_logits = jnp.concatenate(cls_all, axis=1).astype(jnp.float32)
+    boxes_cxcywh = jnp.concatenate(boxes_all, axis=1).astype(jnp.float32)
+    boxes_xyxy = jnp.concatenate(
+        [boxes_cxcywh[..., 0:2] - boxes_cxcywh[..., 2:4] / 2,
+         boxes_cxcywh[..., 0:2] + boxes_cxcywh[..., 2:4] / 2], axis=-1
+    )
+
+    gt_boxes, gt_cls, gt_valid = _gather_gt(targets, num_classes)
+    asn = tal_assign(jax.nn.sigmoid(cls_logits), boxes_xyxy, anchor_pts,
+                     gt_boxes, gt_cls, gt_valid)
+    fg = asn["fg"]
+    target_scores = asn["target_scores"]
+    score_sum = jnp.maximum(jnp.sum(target_scores), 1.0)
+
+    # classification: BCE against the soft targets over every cell
+    cls_loss = jnp.sum(
+        optax.sigmoid_binary_cross_entropy(cls_logits, target_scores)
+    ) / score_sum
+
+    # box: CIoU on foreground cells, weighted by the (summed) soft score
+    w_fg = jnp.sum(target_scores, axis=-1) * fg          # (B, A)
+    ciou_term = (1.0 - ciou(boxes_cxcywh, asn["target_boxes"])) * w_fg
+    box_loss = jnp.sum(ciou_term) / score_sum
+
+    # DFL: target edge distances in stride units from assigned boxes
+    tb = asn["target_boxes"]
+    t_xyxy = jnp.concatenate(
+        [tb[..., 0:2] - tb[..., 2:4] / 2, tb[..., 0:2] + tb[..., 2:4] / 2],
+        axis=-1,
+    )
+    scale = (img_size / strides)[None, :, None]           # norm -> strides
+    ltrb = jnp.concatenate(
+        [anchor_pts[None] - t_xyxy[..., 0:2],
+         t_xyxy[..., 2:4] - anchor_pts[None]], axis=-1
+    ) * scale
+    dfl = _dfl_loss(dist, ltrb) * w_fg
+    dfl_loss_v = jnp.sum(dfl) / score_sum
+
+    total = (box_weight * box_loss + cls_weight * cls_loss
+             + dfl_weight * dfl_loss_v)
+    return total, box_loss, cls_loss

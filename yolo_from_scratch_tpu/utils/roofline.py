@@ -1,0 +1,180 @@
+"""Per-layer roofline analysis of the model's conv graph.
+
+Answers "how far from speed-of-light is the measured throughput?" by
+extracting every convolution from the traced forward jaxpr (exact shapes,
+no hand-kept layer list), computing each one's MXU-bound and HBM-bound
+times on the target chip, and summing to a forward (and estimated
+training-step) floor. Elementwise BN/SiLU ops fuse into conv epilogues
+under XLA and are folded into the conv byte traffic; non-conv bandwidth
+(maxpools, upsampling, concats) is reported as one aggregate row.
+
+Run as a module for the markdown table:
+    python -m yolo_from_scratch_tpu.utils.roofline [--batch 8] [--size s]
+
+Chip model defaults to TPU v5e (v5 lite): 197 TFLOP/s bf16, 819 GB/s HBM.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+V5E_BF16_FLOPS = 197e12
+V5E_HBM_BW = 819e9
+
+
+@dataclasses.dataclass
+class ConvCost:
+    out_shape: tuple
+    kernel_shape: tuple
+    flops: float       # fwd multiply-adds * 2
+    bytes_io: float    # lhs + rhs + out at the op dtype
+
+    @property
+    def t_mxu(self):
+        return self.flops / V5E_BF16_FLOPS
+
+    def t_hbm(self, bw=V5E_HBM_BW):
+        return self.bytes_io / bw
+
+    @property
+    def t_min(self):
+        return max(self.t_mxu, self.t_hbm())
+
+
+def _dtype_bytes(aval):
+    return np.dtype(aval.dtype).itemsize
+
+
+def _walk(jaxpr, convs, others):
+    for eqn in jaxpr.eqns:
+        if eqn.primitive.name == "conv_general_dilated":
+            lhs, rhs = (v.aval for v in eqn.invars)
+            out = eqn.outvars[0].aval
+            # dim numbers give feature/spatial split; FLOPs are
+            # 2 * out_elems * (kernel spatial * in_features)
+            dnums = eqn.params["dimension_numbers"]
+            k_spatial = [
+                rhs.shape[i] for i in dnums.rhs_spec[2:]
+            ]
+            cin = rhs.shape[dnums.rhs_spec[1]]
+            groups = eqn.params.get("feature_group_count", 1)
+            flops = 2.0 * out.size * int(np.prod(k_spatial)) * cin / groups
+            nbytes = (
+                lhs.size * _dtype_bytes(lhs)
+                + rhs.size * _dtype_bytes(rhs)
+                + out.size * _dtype_bytes(out)
+            )
+            convs.append(ConvCost(tuple(out.shape), tuple(rhs.shape),
+                                  flops, float(nbytes)))
+        elif eqn.primitive.name in ("reduce_window_max", "reduce_window",
+                                    "gather", "dynamic_slice", "concatenate",
+                                    "resize"):
+            out = eqn.outvars[0].aval
+            others.append(2.0 * out.size * _dtype_bytes(out))  # r + w
+        for sub in jax.core.jaxprs_in_params(eqn.params):
+            _walk(sub, convs, others)
+
+
+def forward_conv_costs(cfg, batch=8):
+    """Trace the forward pass and return ([ConvCost...], other_bytes)."""
+    from yolo_from_scratch_tpu.models.yolo import YOLO
+
+    model = YOLO(cfg)
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        variables = jax.eval_shape(
+            lambda: model.init(
+                jax.random.PRNGKey(0),
+                jnp.zeros((1, cfg.img_size, cfg.img_size, 3)), train=False,
+            )
+        )
+        closed = jax.make_jaxpr(
+            lambda v, x: model.apply(v, x, train=False)
+        )(variables,
+          jax.ShapeDtypeStruct((batch, cfg.img_size, cfg.img_size, 3),
+                               jnp.float32))
+    convs, others = [], []
+    _walk(closed.jaxpr, convs, others)
+    return convs, float(np.sum(others)) if others else 0.0
+
+
+def summarize(cfg, batch=8, measured_img_s=None):
+    """Build the roofline summary dict (and markdown rows)."""
+    convs, other_bytes = forward_conv_costs(cfg, batch)
+    fwd_flops = sum(c.flops for c in convs)
+    fwd_t_mxu = sum(c.t_mxu for c in convs)
+    fwd_t_min = sum(c.t_min for c in convs) + other_bytes / V5E_HBM_BW
+    # training step: fwd + bwd-data + bwd-weights ~= 3x conv FLOPs; byte
+    # traffic roughly 2x fwd (activations re-read + grads written)
+    train_flops = 3.0 * fwd_flops
+    train_t_min = 3.0 * fwd_t_min
+    out = {
+        "convs": convs,
+        "other_bytes": other_bytes,
+        "fwd_flops": fwd_flops,
+        "fwd_t_mxu_ms": fwd_t_mxu * 1e3,
+        "fwd_t_min_ms": fwd_t_min * 1e3,
+        "train_flops": train_flops,
+        "train_t_min_ms": train_t_min * 1e3,
+        "roofline_img_s": batch / train_t_min,
+    }
+    if measured_img_s:
+        t_meas = batch / measured_img_s
+        out["measured_img_s"] = measured_img_s
+        out["mfu"] = train_flops / t_meas / V5E_BF16_FLOPS
+        out["roofline_frac"] = train_t_min / t_meas
+    return out
+
+
+def markdown_table(cfg, batch=8, measured_img_s=None):
+    s = summarize(cfg, batch, measured_img_s)
+    lines = [
+        f"Roofline @ batch {batch}, img {cfg.img_size}, "
+        f"dtype {cfg.compute_dtype} (TPU v5e: 197 TFLOP/s bf16, 819 GB/s)",
+        "",
+        "| conv (out shape) | kernel | GFLOP | t_mxu us | t_hbm us | bound |",
+        "|---|---|---|---|---|---|",
+    ]
+    for c in s["convs"]:
+        bound = "MXU" if c.t_mxu >= c.t_hbm() else "HBM"
+        lines.append(
+            f"| {c.out_shape} | {c.kernel_shape} | {c.flops / 1e9:.2f} "
+            f"| {c.t_mxu * 1e6:.1f} | {c.t_hbm() * 1e6:.1f} | {bound} |"
+        )
+    lines += [
+        "",
+        f"- forward conv FLOPs: {s['fwd_flops'] / 1e9:.1f} GFLOP "
+        f"({s['fwd_flops'] / batch / 1e9:.2f} GFLOP/img)",
+        f"- forward floor: {s['fwd_t_min_ms']:.2f} ms "
+        f"(pure-MXU {s['fwd_t_mxu_ms']:.2f} ms; non-conv bandwidth "
+        f"{s['other_bytes'] / 1e6:.0f} MB)",
+        f"- training-step floor (3x conv work): {s['train_t_min_ms']:.2f} ms "
+        f"= {s['roofline_img_s']:.0f} img/s speed-of-light",
+    ]
+    if measured_img_s:
+        lines += [
+            f"- measured: {measured_img_s:.0f} img/s -> "
+            f"{100 * s['roofline_frac']:.0f}% of roofline, "
+            f"MFU {100 * s['mfu']:.1f}%",
+        ]
+    return "\n".join(lines)
+
+
+if __name__ == "__main__":
+    import argparse
+
+    from yolo_from_scratch_tpu.config import YoloConfig
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--size", default="s")
+    ap.add_argument("--img-size", type=int, default=640)
+    ap.add_argument("--measured", type=float, default=None,
+                    help="measured img/s to compare against")
+    a = ap.parse_args()
+    cfg = YoloConfig.from_size(a.size, img_size=a.img_size,
+                               compute_dtype="bfloat16")
+    print(markdown_table(cfg, a.batch, a.measured))
