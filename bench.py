@@ -117,6 +117,45 @@ def bench_train(cfg, batch=BATCH, chunk=10):
     return batch * chunk * n_dispatch / dt
 
 
+def bench_pipeline(cfg, batch=BATCH, epochs=3):
+    """REAL end-to-end input pipeline: JPEG decode (native C++ loader) ->
+    letterbox -> dense target assignment -> prefetch thread -> DeviceQueue
+    (async device_put, one batch ahead) -> per-step jitted train dispatch.
+    Unlike bench_train (pre-staged batches, measures the device), this
+    measures the whole system on this host. NOTE: this container has ONE
+    CPU core — decode+target throughput scales with host cores on real
+    TPU hosts."""
+    import tempfile
+
+    from yolo_from_scratch_tpu.data.dataset import YoloDataset
+    from yolo_from_scratch_tpu.data.loader import DataLoader
+    from yolo_from_scratch_tpu.train.loop import train_epoch
+    from yolo_from_scratch_tpu.train.steps import make_train_step
+    from yolo_from_scratch_tpu.utils.synth import make_dataset
+
+    root = tempfile.mkdtemp(prefix="bench_pipe_")
+    make_dataset(root, n_train=64, n_val=1, img_size=cfg.img_size)
+    ds = YoloDataset(f"{root}/train/images", 1, img_size=cfg.img_size)
+    loader = DataLoader(ds, batch_size=batch, shuffle=True, prefetch=2)
+
+    model, tx, state = _init_on_host(
+        create_train_state, jax.random.PRNGKey(0), cfg, 1e-3, batch_size=1
+    )
+    state = jax.device_put(state, jax.devices()[0])
+    step = make_train_step(model, tx, cfg)
+    state = set_learning_rate(state, 1e-3)
+
+    # one warm epoch: jit compile + tunnel warm phase + page cache
+    state, *_ = train_epoch(step, state, loader)
+
+    n_imgs, t0 = 0, time.perf_counter()
+    for _ in range(epochs):
+        state, _, _, _, _, n, _ = train_epoch(step, state, loader)
+        n_imgs += n
+    dt = time.perf_counter() - t0
+    return n_imgs / dt
+
+
 def bench_batch_infer(cfg, batch=32, n_dispatch=10):
     """Batched serving throughput: forward + decode + batched Pallas NMS
     over B images per dispatch (the BatchPredictor device path). Dispatches
@@ -211,6 +250,14 @@ def main():
             json.dump(extra, f, indent=1)
 
     save_extra()
+    if os.environ.get("BENCH_PIPELINE"):
+        # opt-in: real loader->queue->train pipeline (adds dataset build +
+        # a second multi-minute compile; see BASELINE.md on the 1-core host)
+        pipe_ips = bench_pipeline(cfg)
+        log(f"end-to-end pipeline (decode+targets+queue+train): "
+            f"{pipe_ips:.1f} img/s on this host")
+        extra["pipeline_images_per_sec"] = round(pipe_ips, 1)
+        save_extra()
     elapsed = time.perf_counter() - t_start
     if os.environ.get("BENCH_SKIP_INFER") or elapsed > 330:
         log(f"skipping infer bench (elapsed {elapsed:.0f}s)")

@@ -1,0 +1,84 @@
+"""Synthetic "cone" detection dataset generator.
+
+Reproduces the benchmark dataset used for the end-to-end training
+demonstrations in BASELINE.md (orange cone-colored boxes on noisy gray
+backgrounds, 1-3 objects per image, YOLO-format labels). The reference
+has no dataset tooling; its tests build similar random datasets in
+fixtures (reference: tests/conftest.py:56-87) — this makes the benchmark
+data reproducible from the repo instead of living only in /tmp.
+
+    python -m yolo_from_scratch_tpu.utils.synth /tmp/cones --train 128 \
+        --val 24 --img-size 640 --seed 0
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+CONE_COLOR = (230, 110, 32)  # orange, matches the round-1 benchmark data
+BG_GRAY = 87
+
+
+def make_image(rng, img_size, n_min=1, n_max=3):
+    """One synthetic image + its YOLO label rows [(cls, cx, cy, w, h)]."""
+    img = np.clip(
+        rng.normal(BG_GRAY, 12, (img_size, img_size, 3)), 0, 255
+    ).astype(np.uint8)
+    rows = []
+    for _ in range(int(rng.integers(n_min, n_max + 1))):
+        w = rng.uniform(0.08, 0.35)
+        h = rng.uniform(0.08, 0.35)
+        cx = rng.uniform(w / 2, 1 - w / 2)
+        cy = rng.uniform(h / 2, 1 - h / 2)
+        x1, y1 = int((cx - w / 2) * img_size), int((cy - h / 2) * img_size)
+        x2, y2 = int((cx + w / 2) * img_size), int((cy + h / 2) * img_size)
+        block = np.asarray(CONE_COLOR, np.float32) + rng.normal(
+            0, 10, (y2 - y1, x2 - x1, 3)
+        )
+        img[y1:y2, x1:x2] = np.clip(block, 0, 255).astype(np.uint8)
+        rows.append((0, cx, cy, w, h))
+    return img, rows
+
+
+def make_dataset(root, n_train=128, n_val=24, img_size=640, seed=0):
+    """Write the dataset + dataset.yaml. Returns the yaml path."""
+    import yaml
+    from PIL import Image
+
+    root = Path(root)
+    rng = np.random.default_rng(seed)
+    for split, n in (("train", n_train), ("val", n_val)):
+        (root / split / "images").mkdir(parents=True, exist_ok=True)
+        (root / split / "labels").mkdir(parents=True, exist_ok=True)
+        for i in range(n):
+            img, rows = make_image(rng, img_size)
+            Image.fromarray(img).save(
+                root / split / "images" / f"{i:04d}.jpg", quality=92
+            )
+            (root / split / "labels" / f"{i:04d}.txt").write_text(
+                "".join(f"{c} {cx:.6f} {cy:.6f} {w:.6f} {h:.6f}\n"
+                        for c, cx, cy, w, h in rows)
+            )
+    yaml_path = root / "data.yaml"
+    yaml_path.write_text(yaml.safe_dump({
+        "nc": 1, "names": ["cone"],
+        "train": str(root / "train" / "images"),
+        "val": str(root / "val" / "images"),
+    }))
+    return yaml_path
+
+
+if __name__ == "__main__":
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("root")
+    ap.add_argument("--train", type=int, default=128)
+    ap.add_argument("--val", type=int, default=24)
+    ap.add_argument("--img-size", type=int, default=640)
+    ap.add_argument("--seed", type=int, default=0)
+    a = ap.parse_args()
+    p = make_dataset(a.root, a.train, a.val, a.img_size, a.seed)
+    print(f"wrote {p}")
