@@ -1,0 +1,139 @@
+#!/usr/bin/env python
+"""Train + measure the BASELINE.json configs end to end on the TPU.
+
+Each config: synthesize its dataset regime, (optionally) run the k-means
+anchor optimizer and feed the anchors back, train the 's' model with the
+scanned multi-step trainer, record steady-state train img/s (hard-sync
+methodology, see BASELINE.md), then evaluate mAP on the unseen val split
+through the batched NMS inference path. One JSON line per config is
+appended to benchmarks/configs_results.jsonl.
+
+    python benchmarks/configs.py 2      # nc=5 @416
+    python benchmarks/configs.py 3      # nc=80 @640 + k-means anchors
+    python benchmarks/configs.py 4      # 1280x1280 small-object
+"""
+
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from yolo_from_scratch_tpu.config import YoloConfig  # noqa: E402
+from yolo_from_scratch_tpu.data.dataset import YoloDataset  # noqa: E402
+from yolo_from_scratch_tpu.data.loader import DataLoader  # noqa: E402
+from yolo_from_scratch_tpu.infer.predict import BatchPredictor  # noqa: E402
+from yolo_from_scratch_tpu.train.map_eval import evaluate_map  # noqa: E402
+from yolo_from_scratch_tpu.train.schedule import lr_at_epoch  # noqa: E402
+from yolo_from_scratch_tpu.train.steps import (  # noqa: E402
+    create_train_state,
+    make_train_step_multi,
+    set_learning_rate,
+)
+from yolo_from_scratch_tpu.utils.synth import make_dataset  # noqa: E402
+
+CONFIGS = {
+    "2": dict(name="nc5_416", num_classes=5, img_size=416,
+              box_range=(0.08, 0.35), n_train=64, n_val=16, n_min=1, n_max=3,
+              epochs=240, kmeans=False),
+    "3": dict(name="coco80_640_kmeans", num_classes=80, img_size=640,
+              box_range=(0.06, 0.35), n_train=96, n_val=24, n_min=3, n_max=6,
+              epochs=300, kmeans=True),
+    "4": dict(name="small_obj_1280", num_classes=1, img_size=1280,
+              box_range=(0.015, 0.06), n_train=48, n_val=12, n_min=2,
+              n_max=5, epochs=240, kmeans=False),
+}
+
+
+def run(spec, lr=5e-3, batch=8):
+    root = f"/tmp/cfgbench_{spec['name']}"
+    yaml_path = make_dataset(
+        root, spec["n_train"], spec["n_val"], spec["img_size"], seed=0,
+        num_classes=spec["num_classes"], n_min=spec["n_min"],
+        n_max=spec["n_max"], box_range=spec["box_range"],
+    )
+    anchors = None
+    if spec["kmeans"]:
+        from yolo_from_scratch_tpu.utils.anchors import (
+            compute_optimal_anchors,
+        )
+
+        anchors = compute_optimal_anchors(str(yaml_path),
+                                          img_size=spec["img_size"])
+        print(f"k-means anchors: {anchors}", flush=True)
+
+    cfg = YoloConfig(
+        num_classes=spec["num_classes"], img_size=spec["img_size"],
+        compute_dtype="bfloat16",
+        **({"anchors": anchors} if anchors is not None else {}),
+    )
+    ds = YoloDataset(f"{root}/train/images", cfg.num_classes,
+                     cfg.anchors_array, cfg.img_size)
+    loader = DataLoader(ds, batch_size=batch, shuffle=False, prefetch=0)
+    batches = [b for b in loader if b[0].shape[0] == batch]
+    imgs = jnp.asarray(np.stack([b[0] for b in batches]))
+    t3, t4, t5 = (
+        jnp.asarray(np.stack([b[1][s] for b in batches])) for s in range(3)
+    )
+    n_scan = imgs.shape[0]
+    print(f"{spec['name']}: staged {n_scan}x{batch} images "
+          f"@{cfg.img_size}", flush=True)
+
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        model, tx, state = create_train_state(jax.random.PRNGKey(0), cfg, lr,
+                                              batch_size=1)
+    state = jax.device_put(state, jax.devices()[0])
+    steps = make_train_step_multi(model, tx, cfg)
+
+    t_compile = time.time()
+    times = []
+    for epoch in range(spec["epochs"]):
+        state = set_learning_rate(
+            state, lr_at_epoch(epoch, 3, spec["epochs"], lr, lr / 100)
+        )
+        t0 = time.perf_counter()
+        state, m = steps(state, imgs, t3, t4, t5)
+        loss = float(m["loss"])  # hard sync each epoch
+        times.append(time.perf_counter() - t0)
+        if epoch % 40 == 0 or epoch == spec["epochs"] - 1:
+            print(f"  epoch {epoch + 1}: loss {loss:.4f} "
+                  f"({time.time() - t_compile:.0f}s)", flush=True)
+            if not np.isfinite(loss):
+                raise SystemExit("diverged")
+    # steady state: median of the second half
+    med = float(np.median(times[len(times) // 2:]))
+    train_ips = n_scan * batch / med
+
+    val = YoloDataset(f"{root}/val/images", cfg.num_classes,
+                      cfg.anchors_array, cfg.img_size)
+    pred = BatchPredictor(
+        {"params": state.params, "batch_stats": state.batch_stats}, cfg,
+        conf_threshold=1e-3, max_outputs=300,
+    )
+    m = evaluate_map(pred, val, num_classes=cfg.num_classes, batch_size=4)
+    result = {
+        "config": spec["name"], "img_size": cfg.img_size,
+        "num_classes": cfg.num_classes,
+        "train_img_s": round(train_ips, 1),
+        "map50": round(m["map50"] * 100, 1),
+        "map": round(m["map"] * 100, 1),
+        "epochs": spec["epochs"], "train_images": spec["n_train"],
+        "kmeans_anchors": bool(spec["kmeans"]),
+    }
+    print(json.dumps(result), flush=True)
+    out = Path(__file__).parent / "configs_results.jsonl"
+    with open(out, "a") as f:
+        f.write(json.dumps(result) + "\n")
+    return result
+
+
+if __name__ == "__main__":
+    for key in sys.argv[1:] or ["2", "3", "4"]:
+        run(CONFIGS[key])

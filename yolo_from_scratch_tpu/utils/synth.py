@@ -21,29 +21,53 @@ CONE_COLOR = (230, 110, 32)  # orange, matches the round-1 benchmark data
 BG_GRAY = 87
 
 
-def make_image(rng, img_size, n_min=1, n_max=3):
+def class_color(c: int):
+    """Deterministic, visually-distinct color per class id (class 0 stays
+    the benchmark's cone orange)."""
+    if c == 0:
+        return CONE_COLOR
+    rng = np.random.default_rng(1000 + c)
+    # keep away from the gray background
+    col = rng.integers(0, 256, 3)
+    while abs(int(col.mean()) - BG_GRAY) < 40:
+        col = rng.integers(0, 256, 3)
+    return tuple(int(v) for v in col)
+
+
+def make_image(rng, img_size, n_min=1, n_max=3, num_classes=1,
+               box_range=(0.08, 0.35)):
     """One synthetic image + its YOLO label rows [(cls, cx, cy, w, h)]."""
     img = np.clip(
         rng.normal(BG_GRAY, 12, (img_size, img_size, 3)), 0, 255
     ).astype(np.uint8)
     rows = []
+    lo, hi = box_range
     for _ in range(int(rng.integers(n_min, n_max + 1))):
-        w = rng.uniform(0.08, 0.35)
-        h = rng.uniform(0.08, 0.35)
+        c = int(rng.integers(0, num_classes))
+        w = rng.uniform(lo, hi)
+        h = rng.uniform(lo, hi)
         cx = rng.uniform(w / 2, 1 - w / 2)
         cy = rng.uniform(h / 2, 1 - h / 2)
         x1, y1 = int((cx - w / 2) * img_size), int((cy - h / 2) * img_size)
         x2, y2 = int((cx + w / 2) * img_size), int((cy + h / 2) * img_size)
-        block = np.asarray(CONE_COLOR, np.float32) + rng.normal(
+        if x2 <= x1 or y2 <= y1:
+            continue  # sub-pixel box at this resolution
+        block = np.asarray(class_color(c), np.float32) + rng.normal(
             0, 10, (y2 - y1, x2 - x1, 3)
         )
         img[y1:y2, x1:x2] = np.clip(block, 0, 255).astype(np.uint8)
-        rows.append((0, cx, cy, w, h))
+        rows.append((c, cx, cy, w, h))
     return img, rows
 
 
-def make_dataset(root, n_train=128, n_val=24, img_size=640, seed=0):
-    """Write the dataset + dataset.yaml. Returns the yaml path."""
+def make_dataset(root, n_train=128, n_val=24, img_size=640, seed=0,
+                 num_classes=1, n_min=1, n_max=3, box_range=(0.08, 0.35)):
+    """Write the dataset + dataset.yaml. Returns the yaml path.
+
+    `num_classes` > 1 draws each box's class uniformly with a distinct
+    color (BASELINE configs 2-3); `box_range` in image fractions sets the
+    object scale (config 4's small-object regime uses e.g. (0.015, 0.06)).
+    """
     import yaml
     from PIL import Image
 
@@ -53,7 +77,8 @@ def make_dataset(root, n_train=128, n_val=24, img_size=640, seed=0):
         (root / split / "images").mkdir(parents=True, exist_ok=True)
         (root / split / "labels").mkdir(parents=True, exist_ok=True)
         for i in range(n):
-            img, rows = make_image(rng, img_size)
+            img, rows = make_image(rng, img_size, n_min, n_max, num_classes,
+                                   box_range)
             Image.fromarray(img).save(
                 root / split / "images" / f"{i:04d}.jpg", quality=92
             )
@@ -62,8 +87,10 @@ def make_dataset(root, n_train=128, n_val=24, img_size=640, seed=0):
                         for c, cx, cy, w, h in rows)
             )
     yaml_path = root / "data.yaml"
+    names = (["cone"] if num_classes == 1
+             else [f"class_{i}" for i in range(num_classes)])
     yaml_path.write_text(yaml.safe_dump({
-        "nc": 1, "names": ["cone"],
+        "nc": num_classes, "names": names,
         "train": str(root / "train" / "images"),
         "val": str(root / "val" / "images"),
     }))
