@@ -40,11 +40,11 @@ from yolo_from_scratch_tpu.utils.synth import make_dataset  # noqa: E402
 
 CONFIGS = {
     "2": dict(name="nc5_416", num_classes=5, img_size=416,
-              box_range=(0.08, 0.35), n_train=64, n_val=16, n_min=1, n_max=3,
-              epochs=240, kmeans=False),
+              box_range=(0.08, 0.35), n_train=256, n_val=32, n_min=1,
+              n_max=4, epochs=300, kmeans=False),
     "3": dict(name="coco80_640_kmeans", num_classes=80, img_size=640,
-              box_range=(0.06, 0.35), n_train=96, n_val=24, n_min=3, n_max=6,
-              epochs=300, kmeans=True),
+              box_range=(0.06, 0.35), n_train=256, n_val=48, n_min=4,
+              n_max=8, epochs=300, kmeans=True),
     "4": dict(name="small_obj_1280", num_classes=1, img_size=1280,
               box_range=(0.015, 0.06), n_train=48, n_val=12, n_min=2,
               n_max=5, epochs=240, kmeans=False),

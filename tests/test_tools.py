@@ -1,0 +1,64 @@
+"""Tooling tests: roofline analyzer + synthetic dataset generator."""
+
+import numpy as np
+
+from yolo_from_scratch_tpu.config import YoloConfig
+
+
+def test_roofline_extracts_convs():
+    from yolo_from_scratch_tpu.utils.roofline import (
+        forward_conv_costs,
+        summarize,
+    )
+
+    cfg = YoloConfig(num_classes=1, img_size=128, width_mult=0.25,
+                     compute_dtype="bfloat16")
+    convs, other_bytes = forward_conv_costs(cfg, batch=2)
+    # the nano graph has dozens of convs; every cost positive
+    assert len(convs) > 30
+    assert all(c.flops > 0 and c.bytes_io > 0 for c in convs)
+    assert other_bytes > 0  # SPPF maxpools + FPN upsamples at least
+
+    s = summarize(cfg, batch=2, measured_img_s=100.0)
+    assert s["fwd_t_min_ms"] >= s["fwd_flops"] / 197e12 * 1e3 - 1e-9
+    assert s["train_flops"] == 3.0 * s["fwd_flops"]
+    assert 0 < s["mfu"] < 1
+    assert s["roofline_img_s"] > 0
+
+
+def test_roofline_flops_match_analytic_stem():
+    """The first extracted conv must be the stem: 3x3 stride-2 on RGB."""
+    from yolo_from_scratch_tpu.utils.roofline import forward_conv_costs
+
+    cfg = YoloConfig(num_classes=1, img_size=128, width_mult=0.25)
+    convs, _ = forward_conv_costs(cfg, batch=1)
+    stem = convs[0]
+    assert stem.kernel_shape[:3] == (3, 3, 3)
+    out_elems = int(np.prod(stem.out_shape))
+    assert stem.flops == 2.0 * out_elems * 9 * 3
+
+
+def test_synth_dataset_trains_and_loads(tmp_path):
+    from yolo_from_scratch_tpu.data.dataset import YoloDataset
+    from yolo_from_scratch_tpu.utils.synth import make_dataset
+
+    yaml_path = make_dataset(tmp_path / "ds", n_train=3, n_val=2,
+                             img_size=128, num_classes=3, n_min=2, n_max=2)
+    assert yaml_path.exists()
+    ds = YoloDataset(str(tmp_path / "ds" / "train" / "images"), 3,
+                     img_size=128)
+    assert len(ds) == 3
+    img, targets = ds[0]
+    assert img.shape == (128, 128, 3)
+    assert sum(float(t[..., 4].sum()) for t in targets) == 2.0
+
+
+def test_synth_small_object_range(tmp_path):
+    from yolo_from_scratch_tpu.utils.synth import make_dataset
+
+    make_dataset(tmp_path / "small", n_train=2, n_val=1, img_size=256,
+                 box_range=(0.015, 0.06), n_min=3, n_max=3)
+    rows = (tmp_path / "small" / "train" / "labels" / "0000.txt").read_text()
+    for line in rows.strip().split("\n"):
+        _, _, _, w, h = (float(v) for v in line.split())
+        assert 0.015 <= w <= 0.06 and 0.015 <= h <= 0.06
