@@ -51,21 +51,36 @@ CONFIGS = {
 }
 
 
-def run(spec, lr=5e-3, batch=8):
+def run(spec, lr=5e-3, batch=8, stage="all"):
+    """stage: 'all' | 'train' (train + save ckpt, skip eval) | 'eval'
+    (load ckpt, mAP only) — the axon remote compiler makes train + eval
+    compiles together overrun a single 10-minute call budget."""
     root = f"/tmp/cfgbench_{spec['name']}"
-    yaml_path = make_dataset(
-        root, spec["n_train"], spec["n_val"], spec["img_size"], seed=0,
-        num_classes=spec["num_classes"], n_min=spec["n_min"],
-        n_max=spec["n_max"], box_range=spec["box_range"],
-    )
+    ckpt = f"{root}/trained.ckpt"
+    if stage == "eval":
+        from yolo_from_scratch_tpu.utils.checkpoint import load_checkpoint
+
+        variables, cfg, _ = load_checkpoint(ckpt)
+        return _eval(spec, cfg, variables, root,
+                     train_ips=None)
+    yaml_path = Path(root) / "data.yaml"
+    if not yaml_path.exists():  # reuse across train/eval stages and retries
+        yaml_path = make_dataset(
+            root, spec["n_train"], spec["n_val"], spec["img_size"], seed=0,
+            num_classes=spec["num_classes"], n_min=spec["n_min"],
+            n_max=spec["n_max"], box_range=spec["box_range"],
+        )
     anchors = None
     if spec["kmeans"]:
         from yolo_from_scratch_tpu.utils.anchors import (
             compute_optimal_anchors,
         )
 
-        anchors = compute_optimal_anchors(str(yaml_path),
-                                          img_size=spec["img_size"])
+        # k-means is an offline tool: keep its jit off the slow remote
+        # TPU compiler
+        with jax.default_device(jax.devices("cpu")[0]):
+            anchors = compute_optimal_anchors(str(yaml_path),
+                                              img_size=spec["img_size"])
         print(f"k-means anchors: {anchors}", flush=True)
 
     cfg = YoloConfig(
@@ -102,7 +117,7 @@ def run(spec, lr=5e-3, batch=8):
         state, m = steps(state, imgs, t3, t4, t5)
         loss = float(m["loss"])  # hard sync each epoch
         times.append(time.perf_counter() - t0)
-        if epoch % 40 == 0 or epoch == spec["epochs"] - 1:
+        if epoch % 20 == 0 or epoch == spec["epochs"] - 1:
             print(f"  epoch {epoch + 1}: loss {loss:.4f} "
                   f"({time.time() - t_compile:.0f}s)", flush=True)
             if not np.isfinite(loss):
@@ -111,17 +126,27 @@ def run(spec, lr=5e-3, batch=8):
     med = float(np.median(times[len(times) // 2:]))
     train_ips = n_scan * batch / med
 
+    from yolo_from_scratch_tpu.utils.checkpoint import save_checkpoint
+
+    variables = {"params": jax.device_get(state.params),
+                 "batch_stats": jax.device_get(state.batch_stats)}
+    save_checkpoint(ckpt, variables, cfg, epoch=spec["epochs"] - 1)
+    print(f"train_img_s: {train_ips:.1f} (ckpt -> {ckpt})", flush=True)
+    if stage == "train":
+        return {"train_img_s": round(train_ips, 1)}
+    return _eval(spec, cfg, variables, root, train_ips)
+
+
+def _eval(spec, cfg, variables, root, train_ips):
     val = YoloDataset(f"{root}/val/images", cfg.num_classes,
                       cfg.anchors_array, cfg.img_size)
-    pred = BatchPredictor(
-        {"params": state.params, "batch_stats": state.batch_stats}, cfg,
-        conf_threshold=1e-3, max_outputs=300,
-    )
+    pred = BatchPredictor(variables, cfg, conf_threshold=1e-3,
+                          max_outputs=300)
     m = evaluate_map(pred, val, num_classes=cfg.num_classes, batch_size=4)
     result = {
         "config": spec["name"], "img_size": cfg.img_size,
         "num_classes": cfg.num_classes,
-        "train_img_s": round(train_ips, 1),
+        "train_img_s": train_ips and round(train_ips, 1),
         "map50": round(m["map50"] * 100, 1),
         "map": round(m["map"] * 100, 1),
         "epochs": spec["epochs"], "train_images": spec["n_train"],
@@ -135,5 +160,12 @@ def run(spec, lr=5e-3, batch=8):
 
 
 if __name__ == "__main__":
-    for key in sys.argv[1:] or ["2", "3", "4"]:
-        run(CONFIGS[key])
+    stage = "all"
+    keys = []
+    for a in sys.argv[1:]:
+        if a in ("--train-only", "--eval-only"):
+            stage = a[2:].split("-")[0]
+        else:
+            keys.append(a)
+    for key in keys or ["2", "3", "4"]:
+        run(CONFIGS[key], stage=stage)
