@@ -13,9 +13,12 @@ import pytest
 
 from yolo_from_scratch_tpu.parallel.mesh import (
     batch_sharding,
+    image_sharding,
     make_mesh,
+    make_mesh_2d,
     pad_batch_to_multiple,
     replicated_sharding,
+    target_sharding,
 )
 from yolo_from_scratch_tpu.train.steps import (
     create_train_state,
@@ -132,6 +135,75 @@ def test_gradients_sharded_match_single_device(cfg):
     for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
         # reduction order differs across shards: absolute tolerance, since
         # relative error is meaningless on near-zero gradient entries
+        np.testing.assert_allclose(a, b, atol=2e-4)
+
+
+def test_mesh_2d_shape():
+    mesh = make_mesh_2d(2)
+    assert mesh.axis_names == ("data", "space")
+    assert mesh.shape["data"] == 4 and mesh.shape["space"] == 2
+    with pytest.raises(ValueError):
+        make_mesh_2d(3)  # 8 devices don't divide by 3
+
+
+def test_mesh_2d_image_placement():
+    """image_sharding on a 2-D mesh shards batch on data AND height on
+    space; target_sharding shards grid rows the same way."""
+    mesh = make_mesh_2d(2)
+    x = np.ones((4, 16, 16, 3), np.float32)
+    xs = jax.device_put(x, image_sharding(mesh))
+    assert xs.addressable_shards[0].data.shape == (1, 8, 16, 3)
+    t = np.ones((4, 4, 4, 3, 6), np.float32)
+    ts = jax.device_put(t, target_sharding(mesh))
+    assert ts.addressable_shards[0].data.shape == (1, 2, 4, 3, 6)
+
+
+def test_gradients_2d_spatial_sharding_match(cfg):
+    """Spatially-partitioned (data x space) forward/backward reproduces
+    the unsharded gradients: GSPMD's halo exchanges for the 3x3 convs and
+    the cross-shard BatchNorm statistics psums must be numerically
+    faithful. This is the CNN analogue of sequence parallelism
+    (SURVEY.md §5.7)."""
+    from yolo_from_scratch_tpu.ops.losses import yolo_loss_multiscale
+
+    model, tx, state = create_train_state(jax.random.PRNGKey(0), cfg, 1e-3)
+    anchors = cfg.anchors_array
+
+    @jax.jit
+    def loss_and_grad(params, batch_stats, images, targets):
+        def loss_fn(p):
+            preds, _ = model.apply(
+                {"params": p, "batch_stats": batch_stats}, images,
+                train=True, mutable=["batch_stats"],
+            )
+            total, *_ = yolo_loss_multiscale(preds, targets, anchors, 1,
+                                             cfg.img_size)
+            return total
+
+        return jax.value_and_grad(loss_fn)(params)
+
+    rng = np.random.default_rng(3)
+    images = rng.random((4, cfg.img_size, cfg.img_size, 3)).astype(np.float32)
+    targets = [np.zeros((4, g, g, 3, 6), np.float32) for g in cfg.grid_sizes]
+    targets[0][:, 4, 4, 0] = [0.28, 0.28, 0.1, 0.1, 1.0, 1.0]
+
+    l1, g1 = jax.device_get(
+        loss_and_grad(state.params, state.batch_stats, jnp.asarray(images),
+                      [jnp.asarray(t) for t in targets])
+    )
+
+    mesh = make_mesh_2d(2)  # 4 data x 2 space
+    rep = replicated_sharding(mesh)
+    l2, g2 = jax.device_get(
+        loss_and_grad(
+            jax.device_put(state.params, rep),
+            jax.device_put(state.batch_stats, rep),
+            jax.device_put(images, image_sharding(mesh)),
+            [jax.device_put(t, target_sharding(mesh)) for t in targets],
+        )
+    )
+    assert float(l1) == pytest.approx(float(l2), rel=2e-5)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
         np.testing.assert_allclose(a, b, atol=2e-4)
 
 

@@ -74,6 +74,11 @@ def build_parser():
                              "(YOLOv8-style decoupled head)")
     parser.add_argument("--data-parallel", action="store_true",
                         help="Shard batches over all local devices (DP mesh)")
+    parser.add_argument("--spatial", type=int, default=1, metavar="N",
+                        help="With --data-parallel: split image HEIGHT N "
+                             "ways across chips (2-D data x space mesh; "
+                             "spatial partitioning for high resolutions "
+                             "where per-chip activations exceed HBM)")
     parser.add_argument("--reference-quirks", action="store_true",
                         help="Replicate the reference's 640-denominator decode "
                              "in loss/eval at non-640 resolutions")
@@ -209,10 +214,17 @@ def main(argv=None):
     elif yaml_file and config is not None:
         mesh = None
         if args.data_parallel:
-            from yolo_from_scratch_tpu.parallel.mesh import make_mesh
+            if args.spatial > 1:
+                from yolo_from_scratch_tpu.parallel.mesh import make_mesh_2d
 
-            mesh = make_mesh()
-            print(f"Data-parallel mesh over {mesh.size} device(s)")
+                mesh = make_mesh_2d(args.spatial)
+                print(f"2-D mesh: data={mesh.shape['data']} x "
+                      f"space={args.spatial} over {mesh.size} device(s)")
+            else:
+                from yolo_from_scratch_tpu.parallel.mesh import make_mesh
+
+                mesh = make_mesh()
+                print(f"Data-parallel mesh over {mesh.size} device(s)")
 
         if ckpt_file:
             # ----- Eval mode -----

@@ -18,15 +18,18 @@ import jax
 import numpy as np
 
 from yolo_from_scratch_tpu.parallel.mesh import (
-    batch_sharding,
+    DATA_AXIS,
+    image_sharding,
     pad_batch_to_multiple,
+    target_sharding,
 )
 
 
 class DeviceQueue:
     """Iterate (images, targets, valid_count) already placed on device,
     one batch ahead of the consumer. With a mesh, batches are padded to a
-    multiple of the mesh size and sharded on the `data` axis."""
+    multiple of the `data` axis size and sharded batch-on-`data` (and, on
+    a 2-D mesh, image rows on `space`)."""
 
     def __init__(self, loader, mesh=None, device=None):
         self.loader = loader
@@ -36,15 +39,16 @@ class DeviceQueue:
     def _place(self, images, targets):
         valid = images.shape[0]
         if self.mesh is not None and self.mesh.size > 1:
-            images, _ = pad_batch_to_multiple(np.asarray(images),
-                                              self.mesh.size)
+            n_data = self.mesh.shape[DATA_AXIS]
+            images, _ = pad_batch_to_multiple(np.asarray(images), n_data)
             targets = [
-                pad_batch_to_multiple(np.asarray(t), self.mesh.size)[0]
+                pad_batch_to_multiple(np.asarray(t), n_data)[0]
                 for t in targets
             ]
-            sh = batch_sharding(self.mesh)
-            return (jax.device_put(images, sh),
-                    [jax.device_put(t, sh) for t in targets], valid)
+            im_sh = image_sharding(self.mesh)
+            t_sh = target_sharding(self.mesh)
+            return (jax.device_put(images, im_sh),
+                    [jax.device_put(t, t_sh) for t in targets], valid)
         dev = self.device or jax.devices()[0]
         return (jax.device_put(images, dev),
                 [jax.device_put(t, dev) for t in targets], valid)

@@ -2,14 +2,26 @@
 
 The reference is strictly single-process / single-device (reference:
 train.py:1377; no torch.distributed anywhere — SURVEY.md §2.3). Scaling
-here is TPU-native instead: a 1-D `jax.sharding.Mesh` over the slice's
-chips, batches sharded on the `data` axis, parameters replicated, and the
+here is TPU-native instead: a `jax.sharding.Mesh` over the slice's chips,
+batches sharded on the `data` axis, parameters replicated, and the
 gradient all-reduce emitted by XLA's SPMD partitioner over ICI — no
 explicit collective calls needed in the step function.
 
-The mesh abstraction keeps an extensible axis layout so a `model` axis
-(tensor parallelism) could be added later, though at <100M params DP is
-the only strategy that pays for itself (SURVEY.md §2.3).
+Two first-class strategies:
+
+- **Data parallelism** (1-D mesh, the default): batch dim sharded on
+  `data`; XLA inserts the gradient psum.
+- **Spatial partitioning** (2-D `data x space` mesh): the image HEIGHT
+  dimension is additionally sharded on `space` — the CNN analogue of
+  sequence parallelism. Each 3x3 conv needs one row of halo from the
+  neighbouring shard; GSPMD emits the collective-permute halo exchanges
+  and converts BatchNorm's (B,H,W) statistics reductions into cross-chip
+  psums automatically. Use when per-chip activations exceed HBM before
+  the batch runs out — e.g. 1280² small-object training (SURVEY.md §5.7),
+  where P3 activations alone are 160·1280·1280/64 elements per image.
+
+A `model` axis (tensor parallelism) could be added the same way, though
+at <100M params neither TP nor PP pays for itself (SURVEY.md §2.3).
 """
 
 from __future__ import annotations
@@ -19,6 +31,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+SPACE_AXIS = "space"
 
 
 def make_mesh(devices=None) -> Mesh:
@@ -27,9 +40,39 @@ def make_mesh(devices=None) -> Mesh:
     return Mesh(np.asarray(devices), (DATA_AXIS,))
 
 
+def make_mesh_2d(n_space: int, devices=None) -> Mesh:
+    """2-D (data, space) mesh: DP over groups of `n_space` chips, with the
+    image height dimension split `n_space` ways inside each group.
+
+    On real hardware the `space` axis should map to ICI-adjacent chips
+    (the halo exchange is a nearest-neighbour permute); jax.devices()
+    order already enumerates the slice in torus order.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    if len(devices) % n_space:
+        raise ValueError(
+            f"{len(devices)} devices do not divide into space={n_space}")
+    arr = np.asarray(devices).reshape(len(devices) // n_space, n_space)
+    return Mesh(arr, (DATA_AXIS, SPACE_AXIS))
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the leading (batch) dimension across the data axis."""
     return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def image_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for NHWC image batches: batch on `data`, and on a 2-D mesh
+    the H dimension on `space` (spatial partitioning)."""
+    if SPACE_AXIS in mesh.axis_names:
+        return NamedSharding(mesh, P(DATA_AXIS, SPACE_AXIS))
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def target_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for (B, gs, gs, A, 5+nc) dense targets: rows follow the
+    image rows so the loss stays local to each spatial shard."""
+    return image_sharding(mesh)
 
 
 def replicated_sharding(mesh: Mesh) -> NamedSharding:
@@ -57,8 +100,8 @@ def pad_batch_to_multiple(arr: np.ndarray, multiple: int):
 
 
 def shard_batch(mesh: Mesh, images, targets):
-    """Place a host batch onto the mesh, sharded along the batch dim."""
-    sh = batch_sharding(mesh)
-    images = jax.device_put(images, sh)
-    targets = [jax.device_put(t, sh) for t in targets]
+    """Place a host batch onto the mesh: batch dim on `data`, and on a 2-D
+    mesh the H / grid-row dims on `space`."""
+    images = jax.device_put(images, image_sharding(mesh))
+    targets = [jax.device_put(t, target_sharding(mesh)) for t in targets]
     return images, targets
