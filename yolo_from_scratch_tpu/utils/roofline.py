@@ -32,6 +32,12 @@ class ConvCost:
     kernel_shape: tuple
     flops: float       # fwd multiply-adds * 2
     bytes_io: float    # lhs + rhs + out at the op dtype
+    # enough of the op signature to re-run the conv standalone (used by
+    # benchmarks/stagebench.py to measure each conv's actual device time)
+    lhs_shape: tuple = ()
+    strides: tuple = (1, 1)
+    padding: tuple = ()
+    dtype: str = "float32"
 
     @property
     def t_mxu(self):
@@ -68,8 +74,13 @@ def _walk(jaxpr, convs, others):
                 + rhs.size * _dtype_bytes(rhs)
                 + out.size * _dtype_bytes(out)
             )
-            convs.append(ConvCost(tuple(out.shape), tuple(rhs.shape),
-                                  flops, float(nbytes)))
+            convs.append(ConvCost(
+                tuple(out.shape), tuple(rhs.shape), flops, float(nbytes),
+                lhs_shape=tuple(lhs.shape),
+                strides=tuple(eqn.params["window_strides"]),
+                padding=tuple(tuple(p) for p in eqn.params["padding"]),
+                dtype=str(lhs.dtype),
+            ))
         elif eqn.primitive.name in ("reduce_window_max", "reduce_window",
                                     "gather", "dynamic_slice", "concatenate",
                                     "resize"):
