@@ -1,0 +1,255 @@
+#!/usr/bin/env python
+"""Where does the train step's time actually go on-chip?
+
+Measures, at the reference workload (batch 8, 's', 640, bf16), each stage
+of the training step in isolation — all scanned N iterations per dispatch
+with a value-dependent carry (so XLA cannot CSE the loop away) and closed
+with a hard value readback (`utils/timing` methodology):
+
+  1. forward, eval mode (BN running stats)
+  2. forward, train mode (BN batch stats)        -> delta = BN-stat cost
+  3. forward + multiscale loss + grad            -> delta = backward cost
+  4. full train step (grad + clip + Adam)        -> delta = optimizer cost
+  5. every conv from the traced jaxpr, standalone -> per-conv measured vs
+     roofline floor (identifies which layers XLA executes inefficiently)
+
+Usage:  python benchmarks/stagebench.py [--batch 8] [--iters 30] [--convs]
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import statistics
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from yolo_from_scratch_tpu.config import YoloConfig
+from yolo_from_scratch_tpu.models.yolo import YOLO
+from yolo_from_scratch_tpu.ops.losses import yolo_loss_multiscale
+from yolo_from_scratch_tpu.utils.roofline import (
+    V5E_HBM_BW,
+    forward_conv_costs,
+)
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def time_dispatch(fn, *args, reps=5, warmup=2):
+    """Median seconds per dispatch of jitted fn(*args), hard-synced."""
+    from yolo_from_scratch_tpu.utils.timing import hard_sync
+
+    for _ in range(warmup):
+        hard_sync(fn(*args))
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        hard_sync(fn(*args))
+        times.append(time.perf_counter() - t0)
+    return statistics.median(times)
+
+
+def scanned(step, carry, iters):
+    """jit a scan of `step` (carry -> carry) `iters` times; the carry makes
+    each iteration depend on the last so the loop cannot collapse."""
+
+    @jax.jit
+    def run(c):
+        def body(c, _):
+            return step(c), None
+
+        c, _ = jax.lax.scan(body, c, None, length=iters)
+        return c
+
+    return run
+
+
+def time_per_iter(step, carry, n1, n2, reps=5):
+    """Seconds per iteration of `step` via the two-length scan SLOPE:
+    (T(scan n2) - T(scan n1)) / (n2 - n1). The axon tunnel costs ~35 ms
+    of round-trip per synced dispatch — a constant that a single-length
+    measurement wrongly attributes to the op; the slope cancels it."""
+    t1 = time_dispatch(scanned(step, carry, n1), carry, reps=reps)
+    t2 = time_dispatch(scanned(step, carry, n2), carry, reps=reps)
+    return (t2 - t1) / (n2 - n1)
+
+
+def _dep(x, y):
+    """Value-dependent no-op: x' == x numerically but depends on y."""
+    leaves = jax.tree.leaves(y)
+    s = sum(jnp.sum(l).astype(jnp.float32) * 0.0 for l in leaves)
+    return x * (1.0 + s.astype(x.dtype))
+
+
+def bench_stages(cfg, batch, iters):
+    from yolo_from_scratch_tpu.train.steps import (
+        create_train_state,
+        set_learning_rate,
+    )
+
+    model = YOLO(cfg)
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(
+        rng.random((batch, cfg.img_size, cfg.img_size, 3)), jnp.float32)
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        variables = model.init(jax.random.PRNGKey(0), images[:1], train=False)
+    variables = jax.device_put(variables, jax.devices()[0])
+    anchors = cfg.anchors_array
+
+    targets = []
+    for g in cfg.grid_sizes:
+        t = np.zeros((batch, g, g, 3, 5 + cfg.num_classes), np.float32)
+        t[:, g // 2, g // 2, 0] = [0.5, 0.5, 0.2, 0.2, 1.0] + [1.0] * (
+            cfg.num_classes > 0)
+        targets.append(jnp.asarray(t))
+
+    results = {}
+    n1, n2 = max(iters // 4, 2), iters
+
+    # -- 1. forward eval ----------------------------------------------------
+    def fwd_eval(x):
+        y = model.apply(variables, x, train=False)
+        return _dep(x, y)
+
+    t = time_per_iter(fwd_eval, images, n1, n2)
+    results["fwd_eval"] = t
+    log(f"fwd eval-mode:        {t * 1e3:7.2f} ms")
+
+    # -- 2. forward train (BN batch stats) ----------------------------------
+    def fwd_train(carry):
+        x, bs = carry
+        y, mut = model.apply(
+            {"params": variables["params"], "batch_stats": bs},
+            x, train=True, mutable=["batch_stats"])
+        return _dep(x, y), mut["batch_stats"]
+
+    carry = (images, variables["batch_stats"])
+    t = time_per_iter(fwd_train, carry, n1, n2)
+    results["fwd_train"] = t
+    log(f"fwd train-mode:       {t * 1e3:7.2f} ms  "
+        f"(BN-stat cost {1e3 * (t - results['fwd_eval']):+.2f})")
+
+    # -- 3. forward + loss + grad -------------------------------------------
+    def loss_fn(params, bs, x):
+        preds, mut = model.apply(
+            {"params": params, "batch_stats": bs}, x, train=True,
+            mutable=["batch_stats"])
+        total, *_ = yolo_loss_multiscale(
+            preds, targets, anchors, cfg.num_classes, cfg.img_size)
+        return total, mut["batch_stats"]
+
+    def grad_step(carry):
+        params, bs = carry
+        (_, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, bs, images)
+        # fold grads back so iterations chain (numerically ~identity)
+        params = jax.tree.map(lambda p, g: p + 0.0 * g, params, grads)
+        return params, new_bs
+
+    carry = (variables["params"], variables["batch_stats"])
+    t = time_per_iter(grad_step, carry, n1, n2)
+    results["fwd_bwd"] = t
+    log(f"fwd+loss+grad:        {t * 1e3:7.2f} ms  "
+        f"(backward cost {1e3 * (t - results['fwd_train']):+.2f})")
+
+    # -- 4. full train step (same batch each iteration, carry = state) ------
+    import optax
+
+    from yolo_from_scratch_tpu.train.steps import TrainState, _make_loss_fn
+
+    model2, tx, state = create_train_state(
+        jax.random.PRNGKey(0), cfg, 1e-3, batch_size=1)
+    state = jax.device_put(state, jax.devices()[0])
+    state = set_learning_rate(state, 1e-3)
+    loss_fn2 = _make_loss_fn(model2, cfg, False)
+
+    def full_step(state):
+        (_, (new_bs, *_rest)), grads = jax.value_and_grad(
+            loss_fn2, has_aux=True)(state.params, state.batch_stats,
+                                    images, targets)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return TrainState(new_params, new_bs, new_opt, state.step + 1)
+
+    t = time_per_iter(full_step, state, n1, n2)
+    results["train_step"] = t
+    log(f"full train step:      {t * 1e3:7.2f} ms  "
+        f"(optimizer cost {1e3 * (t - results['fwd_bwd']):+.2f})")
+    log(f"=> {batch / t:7.0f} img/s")
+    return results
+
+
+def bench_convs(cfg, batch, iters):
+    """Run every conv from the traced forward jaxpr standalone (scanned) and
+    compare measured device time against its roofline floor. Duplicate
+    signatures are measured once and weighted by their count."""
+    convs, _ = forward_conv_costs(cfg, batch)
+    counts = {}
+    for c in convs:
+        key = (c.lhs_shape, c.kernel_shape, c.strides, c.padding, c.dtype)
+        counts.setdefault(key, [c, 0])[1] += 1
+    rng = np.random.default_rng(0)
+    dn = jax.lax.conv_dimension_numbers(
+        convs[0].lhs_shape, convs[0].kernel_shape, ("NHWC", "HWIO", "NHWC"))
+
+    rows, total_meas, total_floor = [], 0.0, 0.0
+    for c, n in counts.values():
+        dtype = jnp.dtype(c.dtype)
+        x = jnp.asarray(rng.random(c.lhs_shape), jnp.float32).astype(dtype)
+        w = jnp.asarray(
+            rng.random(c.kernel_shape) * 0.01, jnp.float32).astype(dtype)
+
+        conv = functools.partial(
+            jax.lax.conv_general_dilated, window_strides=c.strides,
+            padding=c.padding, dimension_numbers=dn)
+
+        def step(x, w=w, conv=conv):
+            y = conv(x, w)
+            return _dep(x, y)
+
+        t = time_per_iter(step, x, 100, 1100, reps=3)
+        total_meas += t * n
+        total_floor += c.t_min * n
+        rows.append((c, t, n))
+        log(f"conv {str(c.out_shape):>22} k{str(c.kernel_shape):>18} "
+            f"s{c.strides[0]} x{n}: {t * 1e6:8.1f} us  floor "
+            f"{c.t_min * 1e6:7.1f} us  ({t / c.t_min:5.1f}x)")
+    log(f"sum of standalone convs: {total_meas * 1e3:.2f} ms  "
+        f"(roofline floor {total_floor * 1e3:.2f} ms, "
+        f"{total_meas / total_floor:.1f}x)")
+    return rows
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--size", default="s")
+    ap.add_argument("--img-size", type=int, default=640)
+    ap.add_argument("--iters", type=int, default=30,
+                    help="scan length per dispatch")
+    ap.add_argument("--convs", action="store_true",
+                    help="also time every conv standalone")
+    ap.add_argument("--stages", action="store_true", default=None)
+    a = ap.parse_args()
+
+    cfg = YoloConfig.from_size(a.size, img_size=a.img_size,
+                               compute_dtype="bfloat16")
+    log(f"backend: {jax.devices()[0]}  batch {a.batch} img {a.img_size} "
+        f"'{a.size}' bf16, {a.iters} scanned iters/dispatch")
+    if a.stages or not a.convs:
+        bench_stages(cfg, a.batch, a.iters)
+    if a.convs:
+        bench_convs(cfg, a.batch, a.iters)
+
+
+if __name__ == "__main__":
+    main()
