@@ -98,8 +98,13 @@ def bench_stages(cfg, batch, iters):
 
     model = YOLO(cfg)
     rng = np.random.default_rng(0)
-    images = jnp.asarray(
-        rng.random((batch, cfg.img_size, cfg.img_size, 3)), jnp.float32)
+    images_np = rng.random(
+        (batch, cfg.img_size, cfg.img_size, 3)).astype(np.float32)
+    if cfg.packed_stem:  # the loader delivers host-packed batches
+        from yolo_from_scratch_tpu.models.packed import pack_s2d_host
+
+        images_np = pack_s2d_host(images_np)
+    images = jnp.asarray(images_np)
     with jax.default_device(jax.local_devices(backend="cpu")[0]):
         variables = model.init(jax.random.PRNGKey(0), images[:1], train=False)
     variables = jax.device_put(variables, jax.devices()[0])
@@ -239,10 +244,14 @@ def main():
     ap.add_argument("--convs", action="store_true",
                     help="also time every conv standalone")
     ap.add_argument("--stages", action="store_true", default=None)
+    ap.add_argument("--packed-stem", action="store_true",
+                    help="evaluate the stem space-to-depth packed on "
+                         "host-packed input (models/packed.py)")
     a = ap.parse_args()
 
     cfg = YoloConfig.from_size(a.size, img_size=a.img_size,
-                               compute_dtype="bfloat16")
+                               compute_dtype="bfloat16",
+                               packed_stem=a.packed_stem)
     log(f"backend: {jax.devices()[0]}  batch {a.batch} img {a.img_size} "
         f"'{a.size}' bf16, {a.iters} scanned iters/dispatch")
     if a.stages or not a.convs:

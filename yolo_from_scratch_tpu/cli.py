@@ -79,6 +79,10 @@ def build_parser():
                              "ways across chips (2-D data x space mesh; "
                              "spatial partitioning for high resolutions "
                              "where per-chip activations exceed HBM)")
+    parser.add_argument("--packed-stem", action="store_true",
+                        help="Train with the space-to-depth packed stem "
+                             "(numerically equivalent, ~25%% faster on "
+                             "TPU; checkpoints stay interchangeable)")
     parser.add_argument("--reference-quirks", action="store_true",
                         help="Replicate the reference's 640-denominator decode "
                              "in loss/eval at non-640 resolutions")
@@ -291,7 +295,10 @@ def main(argv=None):
                 state, cfg_ckpt, start_epoch, resume_ema = restore_train_state(
                     args.resume, tx
                 )
-                cfg = cfg_ckpt.with_(compute_dtype=args.dtype)
+                # packed_stem is a runtime layout knob, not a checkpoint
+                # property — parameters are interchangeable either way
+                cfg = cfg_ckpt.with_(compute_dtype=args.dtype,
+                                     packed_stem=args.packed_stem)
                 model = YOLO(cfg)
                 save_path = args.resume
                 print(f"Resuming from {args.resume} at epoch {start_epoch + 1}")
@@ -315,6 +322,7 @@ def main(argv=None):
                     depth_mult=size_cfg["depth_mult"],
                     compute_dtype=args.dtype,
                     head_type=args.head,
+                    packed_stem=args.packed_stem,
                 )
                 model, tx, state = create_train_state(
                     jax.random.PRNGKey(args.seed), cfg, args.lr
@@ -326,11 +334,13 @@ def main(argv=None):
                             cfg.img_size, head_type=cfg.head_type,
                             augment=args.augment, seed=args.seed),
                 batch_size=args.batch_size, shuffle=True, seed=args.seed,
+                pack_images=cfg.packed_stem,
             )
             val_loader = DataLoader(
                 YoloDataset(config["val"], cfg.num_classes, anchors,
                             cfg.img_size, head_type=cfg.head_type),
                 batch_size=args.batch_size,
+                pack_images=cfg.packed_stem,
             )
             if len(train_loader.dataset) == 0:
                 print(f"ERROR: no images found in {config['train']} "

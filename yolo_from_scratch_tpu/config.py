@@ -72,6 +72,12 @@ class YoloConfig:
     # "anchor" = reference-parity 3-anchor heads; "anchor_free" = the
     # YOLOv8-style decoupled head (BASELINE config 5 stretch)
     head_type: str = "anchor"
+    # evaluate the stem in space-to-depth packed layout (models/packed.py):
+    # numerically equivalent, ~2.4 ms faster per b8 forward on v5e; the
+    # model then expects host-packed (B, S/4, S/4, 48) inputs (3-channel
+    # inputs still work via a slow on-device pack). Checkpoints are
+    # interchangeable with packed_stem=False.
+    packed_stem: bool = False
 
     def __post_init__(self):
         if self.img_size % 32 != 0:

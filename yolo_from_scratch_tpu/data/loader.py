@@ -26,11 +26,15 @@ class DataLoader:
     """
 
     def __init__(self, dataset, batch_size=8, shuffle=False, seed=0,
-                 prefetch=2):
+                 prefetch=2, pack_images=False):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.prefetch = prefetch
+        # space-to-depth-pack image batches on the host for the packed-stem
+        # model (models/packed.py) — done on the prefetch thread, so it
+        # overlaps device compute like the rest of batch preparation
+        self.pack_images = pack_images
         self._rng = np.random.default_rng(seed)
 
     def __len__(self):
@@ -48,16 +52,22 @@ class DataLoader:
         # dataset-provided batch fast path (native C++ loader) when present
         load_batch = getattr(self.dataset, "load_batch", None)
         if load_batch is not None:
-            return load_batch(indices)
-        imgs, tgts = [], []
-        for i in indices:
-            img, t = self.dataset[int(i)]
-            imgs.append(img)
-            tgts.append(t)
-        images = np.stack(imgs).astype(np.float32)
-        targets = [
-            np.stack([t[s] for t in tgts]).astype(np.float32) for s in range(3)
-        ]
+            images, targets = load_batch(indices)
+        else:
+            imgs, tgts = [], []
+            for i in indices:
+                img, t = self.dataset[int(i)]
+                imgs.append(img)
+                tgts.append(t)
+            images = np.stack(imgs).astype(np.float32)
+            targets = [
+                np.stack([t[s] for t in tgts]).astype(np.float32)
+                for s in range(3)
+            ]
+        if self.pack_images:
+            from yolo_from_scratch_tpu.models.packed import pack_s2d_host
+
+            images = pack_s2d_host(images)
         return images, targets
 
     def __iter__(self):
