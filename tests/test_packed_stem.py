@@ -138,6 +138,34 @@ def test_packed_gradients_match(cfgs, image):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)
 
 
+def test_packed_predictor_matches(cfgs, image):
+    """Predictor/BatchPredictor with packed_stem pack on host and return
+    the same detections as the unpacked serving path."""
+    from PIL import Image
+
+    from yolo_from_scratch_tpu.infer.predict import BatchPredictor, Predictor
+
+    cfg_u, cfg_p = cfgs
+    variables = YOLO(cfg_u).init(jax.random.PRNGKey(0), jnp.asarray(image),
+                                 train=False)
+    pil = Image.fromarray((image[0] * 255).astype(np.uint8))
+    # conf low enough that the untrained model yields candidates
+    det_u = Predictor(variables, cfg_u, conf_threshold=0.01)(pil)
+    det_p = Predictor(variables, cfg_p, conf_threshold=0.01)(pil)
+    assert len(det_u) == len(det_p) > 0
+    np.testing.assert_allclose(np.asarray(det_u), np.asarray(det_p),
+                               rtol=1e-4, atol=1e-3)
+
+    bdet_u = BatchPredictor(variables, cfg_u, conf_threshold=0.01,
+                            max_outputs=64)([pil, pil])
+    bdet_p = BatchPredictor(variables, cfg_p, conf_threshold=0.01,
+                            max_outputs=64)([pil, pil])
+    for a, b in zip(bdet_u, bdet_p):
+        assert len(a) == len(b) > 0
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-3)
+
+
 _F64_CHECK = """
 import jax, jax.numpy as jnp, numpy as np
 from yolo_from_scratch_tpu.models.packed import pack_conv_kernel, pack_s2d

@@ -201,6 +201,8 @@ def main(argv=None):
     elif image_file and ckpt_file:
         # ----- Inference mode -----
         variables, cfg, meta = _load_model_from_ckpt(ckpt_file, args.dtype)
+        if args.packed_stem:  # runtime layout knob; params interchangeable
+            cfg = cfg.with_(packed_stem=True)
         print(f"Running inference on {image_file}")
         print(f"Model: {ckpt_file}, Classes: {cfg.num_classes}, "
               f"Image size: {cfg.img_size}")
@@ -233,6 +235,8 @@ def main(argv=None):
         if ckpt_file:
             # ----- Eval mode -----
             variables, cfg, meta = _load_model_from_ckpt(ckpt_file, args.dtype)
+            if args.packed_stem:  # runtime layout knob; params interchangeable
+                cfg = cfg.with_(packed_stem=True)
             print(f"Evaluating model from {ckpt_file}")
             print(f"Number of classes: {cfg.num_classes}")
             print(f"Image size: {cfg.img_size}")
@@ -246,6 +250,7 @@ def main(argv=None):
                 YoloDataset(config[split], cfg.num_classes, anchors,
                             cfg.img_size, head_type=cfg.head_type),
                 batch_size=args.batch_size,
+                pack_images=cfg.packed_stem,
             )
             for title, split in (("Training", "train"), ("Validation", "val")):
                 loader = mk_loader(split)

@@ -276,9 +276,14 @@ class Predictor:
             self.model, cfg, conf_threshold, iou_threshold, topk, max_outputs
         )
         if device_letterbox:
-            # the single-image path reuses the batched program at B=1
+            # the single-image path reuses the batched program at B=1.
+            # Device letterbox emits an on-device (B, S, S, 3) image, where
+            # packing costs more than the packed stem saves — run the
+            # unpacked graph there (parameters are interchangeable).
+            lb_model = YOLO(cfg.with_(packed_stem=False))
             self._batch_post = make_batch_postprocess(
-                self.model, cfg, conf_threshold, iou_threshold, topk,
+                lb_model, cfg.with_(packed_stem=False), conf_threshold,
+                iou_threshold, topk,
                 max_outputs or topk or default_topk(
                     cfg.img_size, 1 if cfg.head_type == "anchor_free" else 3
                 ),
@@ -310,7 +315,14 @@ class Predictor:
                 for b, s, c, v in zip(boxes, scores, classes, valid) if v
             ]
         img_u8, scale, pad_top, pad_left = letterbox_image(pil, self.cfg.img_size)
-        img = jnp.asarray(img_u8, jnp.float32)[None] / 255.0
+        img_np = img_u8.astype(np.float32)[None] / 255.0
+        if self.cfg.packed_stem:
+            # host-side space-to-depth so the packed stem (models/packed.py)
+            # never pays the slow on-device layout change
+            from yolo_from_scratch_tpu.models.packed import pack_s2d_host
+
+            img_np = pack_s2d_host(img_np)
+        img = jnp.asarray(img_np)
 
         boxes, scores, classes, valid = jax.device_get(
             self._post(self.variables, img, float(scale), float(pad_top),
@@ -354,7 +366,13 @@ class BatchPredictor:
             max_outputs=max_outputs,
         )
         if device_letterbox:
-            self._post_lb = _wrap_device_letterbox(self._post, cfg.img_size)
+            # see Predictor: unpacked graph behind the device letterbox
+            lb_cfg = cfg.with_(packed_stem=False)
+            self._post_lb = _wrap_device_letterbox(
+                make_batch_postprocess(YOLO(lb_cfg), lb_cfg, conf_threshold,
+                                       iou_threshold,
+                                       max_outputs=max_outputs),
+                cfg.img_size)
 
     def __call__(self, images):
         """images: list of paths or PIL images. Returns a list (per image)
@@ -387,10 +405,15 @@ class BatchPredictor:
             pts.append(pad_top)
             pls.append(pad_left)
 
+        batch = np.stack(imgs)
+        if self.cfg.packed_stem:
+            from yolo_from_scratch_tpu.models.packed import pack_s2d_host
+
+            batch = pack_s2d_host(batch)
         boxes, scores, classes, valid = jax.device_get(
             self._post(
                 self.variables,
-                jnp.asarray(np.stack(imgs)),
+                jnp.asarray(batch),
                 jnp.asarray(scales, jnp.float32),
                 jnp.asarray(pts, jnp.float32),
                 jnp.asarray(pls, jnp.float32),
