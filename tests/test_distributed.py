@@ -1,0 +1,125 @@
+"""Multi-host layer (parallel.distributed) — single-process degenerate
+behavior, which is the testable contract in this container.
+
+The reference has no distributed code at all (reference: train.py:1377,
+SURVEY.md §2.3); the properties tested here are the framework's own:
+with process_count == 1 every multi-host helper must reduce EXACTLY to
+the single-host path, and the host-side sharding logic (strided slices,
+disjoint coverage) must hold for any (pi, pc).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from yolo_from_scratch_tpu.data.loader import DataLoader
+from yolo_from_scratch_tpu.parallel.distributed import (
+    global_batch_size,
+    local_shard_indices,
+    make_global_batch,
+)
+from yolo_from_scratch_tpu.parallel.mesh import make_mesh, shard_batch
+
+
+def test_local_shard_indices_disjoint_cover():
+    """Across all processes the strided shards are disjoint and cover
+    the whole dataset; sizes differ by at most one."""
+    n, pc = 103, 8
+    shards = [local_shard_indices(n, pi, pc) for pi in range(pc)]
+    allidx = np.concatenate(shards)
+    assert len(allidx) == n
+    assert len(np.unique(allidx)) == n
+    sizes = [len(s) for s in shards]
+    assert max(sizes) - min(sizes) <= 1
+
+
+def test_local_shard_indices_single_process_identity():
+    np.testing.assert_array_equal(
+        local_shard_indices(17, 0, 1), np.arange(17))
+
+
+def test_make_global_batch_matches_shard_batch():
+    """process_count == 1: make_global_batch places the SAME global array
+    with the SAME sharding as the plain shard_batch path."""
+    assert len(jax.devices()) == 8, "conftest must force 8 virtual devices"
+    mesh = make_mesh()
+    rng = np.random.default_rng(0)
+    images = rng.random((8, 32, 32, 3)).astype(np.float32)
+    targets = [rng.random((8, g, g, 3, 6)).astype(np.float32)
+               for g in (4, 2, 1)]
+
+    gi, gt = make_global_batch(mesh, images, targets)
+    si, st = shard_batch(mesh, images, targets)
+    assert gi.sharding.is_equivalent_to(si.sharding, gi.ndim)
+    np.testing.assert_array_equal(np.asarray(gi), np.asarray(si))
+    for a, b in zip(gt, st):
+        assert a.sharding.is_equivalent_to(b.sharding, a.ndim)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_global_batch_feeds_jit_like_device_put():
+    """A jitted reduction over a make_global_batch array equals the same
+    over the device_put array (the arrays are interchangeable inputs)."""
+    mesh = make_mesh()
+    rng = np.random.default_rng(1)
+    images = rng.random((16, 8, 8, 3)).astype(np.float32)
+    t = [rng.random((16, 2, 2, 3, 6)).astype(np.float32)]
+    gi, gt = make_global_batch(mesh, images, t)
+    si, st = shard_batch(mesh, images, t)
+
+    f = jax.jit(lambda x, y: jnp.sum(x) * jnp.mean(y))
+    np.testing.assert_allclose(
+        float(f(gi, gt[0])), float(f(si, st[0])), rtol=1e-6)
+
+
+def test_global_batch_size_single():
+    assert global_batch_size(8) == 8 * jax.process_count()
+
+
+class _IdxDataset:
+    """Dataset stub: item i is (image filled with i, per-scale targets
+    filled with i) so batch contents identify which indices were drawn."""
+
+    def __init__(self, n):
+        self.n = n
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        img = np.full((8, 8, 3), i, np.float32)
+        return img, [np.full((2, 2, 3, 6), i, np.float32) for _ in range(3)]
+
+
+def test_loader_process_shard_disjoint():
+    """Two process-sharded loaders with the same seed draw disjoint
+    strided halves of the identical epoch permutation."""
+    seen = []
+    for pi in (0, 1):
+        loader = DataLoader(_IdxDataset(12), batch_size=3, shuffle=True,
+                            seed=7, prefetch=0, process_shard=(pi, 2))
+        assert len(loader) == 2  # 6 local items / batch 3
+        ids = []
+        for images, _ in loader:
+            ids.extend(int(images[b, 0, 0, 0]) for b in range(len(images)))
+        assert len(ids) == 6
+        seen.append(set(ids))
+    assert seen[0] | seen[1] == set(range(12))
+    assert not (seen[0] & seen[1])
+
+
+def test_loader_process_shard_none_is_full():
+    loader = DataLoader(_IdxDataset(5), batch_size=2, prefetch=0)
+    n = sum(len(images) for images, _ in loader)
+    assert n == 5
+
+
+def test_init_distributed_rejects_partial_args():
+    """init_distributed forwards only the provided args; calling it inside
+    an already-initialized single-process backend raises (jax refuses
+    double init) — assert the error is the jax one, not ours."""
+    from yolo_from_scratch_tpu.parallel.distributed import init_distributed
+
+    with pytest.raises(RuntimeError):
+        init_distributed("127.0.0.1:9999", 2, 0)

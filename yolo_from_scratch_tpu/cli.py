@@ -79,6 +79,20 @@ def build_parser():
                              "ways across chips (2-D data x space mesh; "
                              "spatial partitioning for high resolutions "
                              "where per-chip activations exceed HBM)")
+    parser.add_argument("--distributed", action="store_true",
+                        help="Multi-host training: connect this process "
+                             "via jax.distributed before building the "
+                             "mesh (auto-detected on TPU pods; otherwise "
+                             "give --coordinator/--num-processes/"
+                             "--process-id). --batch-size is PER PROCESS; "
+                             "implies --data-parallel")
+    parser.add_argument("--coordinator", default=None, metavar="HOST:PORT",
+                        help="With --distributed off TPU pods: the "
+                             "coordinator address")
+    parser.add_argument("--num-processes", type=int, default=None,
+                        help="With --distributed: total process count")
+    parser.add_argument("--process-id", type=int, default=None,
+                        help="With --distributed: this process's id")
     parser.add_argument("--packed-stem", action="store_true",
                         help="Train with the space-to-depth packed stem "
                              "(numerically equivalent, ~25%% faster on "
@@ -150,6 +164,19 @@ def _load_model_from_ckpt(ckpt_file, dtype=None):
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+
+    if args.distributed:
+        # must run before the first backend use; afterwards jax.devices()
+        # is the GLOBAL device list and the mesh spans every host
+        from yolo_from_scratch_tpu.parallel.distributed import (
+            init_distributed,
+        )
+
+        pi, pc = init_distributed(args.coordinator, args.num_processes,
+                                  args.process_id)
+        print(f"Distributed: process {pi}/{pc}, "
+              f"{len(jax.devices())} global device(s)")
+        args.data_parallel = True
 
     if args.img_size % 32 != 0:
         print(f"ERROR: --img-size must be divisible by 32, got {args.img_size}")
@@ -334,18 +361,24 @@ def main(argv=None):
                 )
 
             anchors = cfg.anchors_array
+            # multi-host: each process loads its strided slice of every
+            # epoch permutation (identical shuffle seed across hosts keeps
+            # the slices disjoint); batch_size is per-process
+            shard = ((jax.process_index(), jax.process_count())
+                     if args.distributed and jax.process_count() > 1
+                     else None)
             train_loader = DataLoader(
                 YoloDataset(config["train"], cfg.num_classes, anchors,
                             cfg.img_size, head_type=cfg.head_type,
                             augment=args.augment, seed=args.seed),
                 batch_size=args.batch_size, shuffle=True, seed=args.seed,
-                pack_images=cfg.packed_stem,
+                pack_images=cfg.packed_stem, process_shard=shard,
             )
             val_loader = DataLoader(
                 YoloDataset(config["val"], cfg.num_classes, anchors,
                             cfg.img_size, head_type=cfg.head_type),
                 batch_size=args.batch_size,
-                pack_images=cfg.packed_stem,
+                pack_images=cfg.packed_stem, process_shard=shard,
             )
             if len(train_loader.dataset) == 0:
                 print(f"ERROR: no images found in {config['train']} "

@@ -39,6 +39,25 @@ class DeviceQueue:
     def _place(self, images, targets):
         valid = images.shape[0]
         if self.mesh is not None and self.mesh.size > 1:
+            if jax.process_count() > 1:
+                # multi-host: this process holds only its local shard of
+                # the global batch; assemble the global jax.Array from the
+                # per-process pieces (parallel.distributed). Pad to this
+                # process's share of the data axis.
+                from yolo_from_scratch_tpu.parallel.distributed import (
+                    make_global_batch,
+                )
+
+                n_local = max(
+                    self.mesh.shape[DATA_AXIS] // jax.process_count(), 1)
+                images, _ = pad_batch_to_multiple(np.asarray(images), n_local)
+                targets = [
+                    pad_batch_to_multiple(np.asarray(t), n_local)[0]
+                    for t in targets
+                ]
+                g_images, g_targets = make_global_batch(
+                    self.mesh, images, targets)
+                return g_images, g_targets, valid
             n_data = self.mesh.shape[DATA_AXIS]
             images, _ = pad_batch_to_multiple(np.asarray(images), n_data)
             targets = [

@@ -26,7 +26,7 @@ class DataLoader:
     """
 
     def __init__(self, dataset, batch_size=8, shuffle=False, seed=0,
-                 prefetch=2, pack_images=False):
+                 prefetch=2, pack_images=False, process_shard=None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -35,16 +35,28 @@ class DataLoader:
         # model (models/packed.py) — done on the prefetch thread, so it
         # overlaps device compute like the rest of batch preparation
         self.pack_images = pack_images
+        # multi-host data sharding: (process_index, process_count) — this
+        # loader yields only the strided slice [pi::pc] of each (identically
+        # seeded, hence identically shuffled) global epoch permutation, so
+        # `batch_size` here is the PER-PROCESS batch (parallel.distributed)
+        self.process_shard = process_shard
         self._rng = np.random.default_rng(seed)
 
     def __len__(self):
-        n = len(self.dataset)
+        n = len(self._epoch_indices(shuffled=False))
         return (n + self.batch_size - 1) // self.batch_size
 
-    def _batch_indices(self):
+    def _epoch_indices(self, shuffled=True):
         idx = np.arange(len(self.dataset))
-        if self.shuffle:
+        if self.shuffle and shuffled:
             self._rng.shuffle(idx)
+        if self.process_shard is not None:
+            pi, pc = self.process_shard
+            idx = idx[pi::pc]
+        return idx
+
+    def _batch_indices(self):
+        idx = self._epoch_indices()
         for i in range(0, len(idx), self.batch_size):
             yield idx[i : i + self.batch_size]
 

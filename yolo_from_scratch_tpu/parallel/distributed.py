@@ -1,0 +1,98 @@
+"""Multi-host (multi-process) training over DCN — the pod-scale layer.
+
+The reference is strictly single-process (reference: train.py:1377; no
+torch.distributed anywhere — SURVEY.md §2.3). Single-host multi-chip
+scaling lives in `parallel.mesh`; this module extends the same SPMD
+design across HOSTS the TPU-native way:
+
+- `jax.distributed.initialize` connects the processes (auto-detected on
+  TPU pods from the metadata server; explicit coordinator elsewhere).
+- The mesh is built over `jax.devices()` — which, after initialize,
+  enumerates the GLOBAL device set in torus order, so the `data` axis
+  spans hosts and XLA's gradient psum rides ICI within a slice and DCN
+  across slices.
+- Each process loads only its own slice of every global batch
+  (`local_shard_indices`), and `make_global_batch` assembles the
+  per-process shards into one global jax.Array via
+  `jax.make_array_from_process_local_data` — no host ever materializes
+  the full batch.
+
+Everything downstream (train step, checkpointing, eval) is unchanged:
+the step function is the same jit-compiled SPMD program, and parameters
+remain replicated on every chip.
+
+With a single process (the only thing testable in this container) every
+helper degenerates to the single-host behavior exactly — tested on the
+virtual 8-device CPU mesh against the `device_put` path.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+
+from yolo_from_scratch_tpu.parallel.mesh import (
+    image_sharding,
+    target_sharding,
+)
+
+
+def init_distributed(coordinator: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None):
+    """Connect this process to the training job. On TPU pods all three
+    arguments are auto-detected (pass nothing); on other platforms give
+    `coordinator` as "host:port" plus the process count and this
+    process's id. Returns (process_index, process_count).
+
+    Must be called before the first JAX backend use; after it,
+    `jax.devices()` is the global device list and meshes built from it
+    span every host.
+    """
+    kwargs = {}
+    if coordinator is not None:
+        kwargs["coordinator_address"] = coordinator
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    jax.distributed.initialize(**kwargs)
+    return jax.process_index(), jax.process_count()
+
+
+def local_shard_indices(n_items: int, process_index: int | None = None,
+                        process_count: int | None = None) -> np.ndarray:
+    """This process's strided slice of dataset indices [pi::pc].
+
+    Strided (not contiguous) so that with a shuffle seed shared across
+    hosts every process permutes identically and the shards stay
+    disjoint while each epoch's coverage is the full dataset."""
+    pi = jax.process_index() if process_index is None else process_index
+    pc = jax.process_count() if process_count is None else process_count
+    return np.arange(n_items)[pi::pc]
+
+
+def make_global_batch(mesh, local_images: np.ndarray, local_targets):
+    """Assemble per-process local batch shards into global jax.Arrays
+    sharded over the mesh (batch on `data`, rows on `space` for a 2-D
+    mesh). The global batch dimension is local_batch * process_count;
+    every process must call this collectively with equal local shapes.
+
+    Single-process this is exactly `shard_batch` (and is tested
+    equivalent to it on the virtual mesh)."""
+    pc = jax.process_count()
+    im_sh = image_sharding(mesh)
+    t_sh = target_sharding(mesh)
+    g_imgs = (local_images.shape[0] * pc,) + local_images.shape[1:]
+    images = jax.make_array_from_process_local_data(
+        im_sh, np.asarray(local_images), g_imgs)
+    targets = [
+        jax.make_array_from_process_local_data(
+            t_sh, np.asarray(t), (t.shape[0] * pc,) + t.shape[1:])
+        for t in local_targets
+    ]
+    return images, targets
+
+
+def global_batch_size(local_batch: int) -> int:
+    return local_batch * jax.process_count()

@@ -173,6 +173,10 @@ def fit(
             "images_per_sec": n_imgs / max(dt, 1e-9),
         })
 
+        # multi-host: params are replicated, so only process 0 writes the
+        # (identical) checkpoint — concurrent writers on a shared FS race
+        if jax.process_index() != 0:
+            continue
         # 'model' holds the DEPLOYMENT weights (EMA when enabled); the raw
         # training trajectory + step ride in extra so --resume restores the
         # true optimization state, not the smoothed average
