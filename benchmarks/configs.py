@@ -40,10 +40,10 @@ from yolo_from_scratch_tpu.utils.synth import make_dataset  # noqa: E402
 
 CONFIGS = {
     "2": dict(name="nc5_416", num_classes=5, img_size=416,
-              box_range=(0.08, 0.35), n_train=256, n_val=32, n_min=1,
+              box_range=(0.08, 0.35), n_train=512, n_val=48, n_min=1,
               n_max=4, epochs=300, kmeans=False),
     "3": dict(name="coco80_640_kmeans", num_classes=80, img_size=640,
-              box_range=(0.06, 0.35), n_train=256, n_val=48, n_min=4,
+              box_range=(0.06, 0.35), n_train=512, n_val=64, n_min=4,
               n_max=8, epochs=300, kmeans=True),
     "4": dict(name="small_obj_1280", num_classes=1, img_size=1280,
               box_range=(0.015, 0.06), n_train=48, n_val=12, n_min=2,
@@ -85,12 +85,13 @@ def run(spec, lr=5e-3, batch=8, stage="all"):
 
     cfg = YoloConfig(
         num_classes=spec["num_classes"], img_size=spec["img_size"],
-        compute_dtype="bfloat16",
+        compute_dtype="bfloat16", packed_stem=True,
         **({"anchors": anchors} if anchors is not None else {}),
     )
     ds = YoloDataset(f"{root}/train/images", cfg.num_classes,
                      cfg.anchors_array, cfg.img_size)
-    loader = DataLoader(ds, batch_size=batch, shuffle=False, prefetch=0)
+    loader = DataLoader(ds, batch_size=batch, shuffle=False, prefetch=0,
+                        pack_images=cfg.packed_stem)
     batches = [b for b in loader if b[0].shape[0] == batch]
     imgs = jnp.asarray(np.stack([b[0] for b in batches]))
     t3, t4, t5 = (
