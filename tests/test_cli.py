@@ -107,3 +107,29 @@ def test_custom_lr_flags_echoed(temp_dataset_dir, trained_ckpt):
     # reuses the cached-compile path: 1 epoch with custom flags
     _, stdout = trained_ckpt
     assert "Initial LR: 0.001" in stdout
+
+
+def test_packed_stem_train_eval_roundtrip(temp_dataset_dir, trained_ckpt,
+                                          tmp_path_factory):
+    """--packed-stem training produces a checkpoint interchangeable with
+    the unpacked graph: evaluating it WITHOUT the flag must work and
+    print the standard eval contract (models/packed.py equivalence)."""
+    workdir = tmp_path_factory.mktemp("cli_packed")
+    result = run_cli(
+        [str(temp_dataset_dir / "dataset.yaml"), "--epochs", "1", "--size",
+         "n", "--img-size", "128", "--batch-size", "5", "--packed-stem"],
+        cwd=workdir,
+    )
+    assert result.returncode == 0, result.stderr[-2000:]
+    assert "Model saved to" in result.stdout
+    ckpt = next(workdir.glob("yolo_*.ckpt"))
+    ev = run_cli([str(temp_dataset_dir / "dataset.yaml"), str(ckpt)])
+    assert ev.returncode == 0, ev.stderr[-2000:]
+    assert "Validation Set:" in ev.stdout
+    # and the reverse: the UNPACKED module-level checkpoint evaluates
+    # through the packed path
+    ckpt_u, _ = trained_ckpt
+    ev2 = run_cli([str(temp_dataset_dir / "dataset.yaml"), str(ckpt_u),
+                   "--packed-stem"])
+    assert ev2.returncode == 0, ev2.stderr[-2000:]
+    assert "F1 Score:" in ev2.stdout
