@@ -23,15 +23,20 @@ BG_GRAY = 87
 
 def class_color(c: int):
     """Deterministic, visually-distinct color per class id (class 0 stays
-    the benchmark's cone orange)."""
+    the benchmark's cone orange). Classes are spread on an HSV grid —
+    20 hues x 4 saturation/value tiers — so all 80 COCO-config classes
+    stay separable under the per-instance pixel noise; randomly-drawn
+    RGB colors (the round-1 regime) collided for many class pairs and
+    capped config-3 classification mAP by construction."""
     if c == 0:
         return CONE_COLOR
-    rng = np.random.default_rng(1000 + c)
-    # keep away from the gray background
-    col = rng.integers(0, 256, 3)
-    while abs(int(col.mean()) - BG_GRAY) < 40:
-        col = rng.integers(0, 256, 3)
-    return tuple(int(v) for v in col)
+    import colorsys
+
+    hue = ((c % 20) / 20.0 + 0.025) % 1.0
+    sat, val = ((1.0, 1.0), (1.0, 0.55), (0.50, 1.0), (1.0, 0.78))[
+        (c // 20) % 4]
+    r, g, b = colorsys.hsv_to_rgb(hue, sat, val)
+    return (int(r * 255), int(g * 255), int(b * 255))
 
 
 def make_image(rng, img_size, n_min=1, n_max=3, num_classes=1,
@@ -41,22 +46,34 @@ def make_image(rng, img_size, n_min=1, n_max=3, num_classes=1,
         rng.normal(BG_GRAY, 12, (img_size, img_size, 3)), 0, 255
     ).astype(np.uint8)
     rows = []
+    placed = []  # pixel boxes already drawn, for overlap rejection
     lo, hi = box_range
     for _ in range(int(rng.integers(n_min, n_max + 1))):
         c = int(rng.integers(0, num_classes))
-        w = rng.uniform(lo, hi)
-        h = rng.uniform(lo, hi)
-        cx = rng.uniform(w / 2, 1 - w / 2)
-        cy = rng.uniform(h / 2, 1 - h / 2)
-        x1, y1 = int((cx - w / 2) * img_size), int((cy - h / 2) * img_size)
-        x2, y2 = int((cx + w / 2) * img_size), int((cy + h / 2) * img_size)
-        if x2 <= x1 or y2 <= y1:
-            continue  # sub-pixel box at this resolution
-        block = np.asarray(class_color(c), np.float32) + rng.normal(
-            0, 10, (y2 - y1, x2 - x1, 3)
-        )
-        img[y1:y2, x1:x2] = np.clip(block, 0, 255).astype(np.uint8)
-        rows.append((c, cx, cy, w, h))
+        for _attempt in range(20):
+            w = rng.uniform(lo, hi)
+            h = rng.uniform(lo, hi)
+            cx = rng.uniform(w / 2, 1 - w / 2)
+            cy = rng.uniform(h / 2, 1 - h / 2)
+            x1 = int((cx - w / 2) * img_size)
+            y1 = int((cy - h / 2) * img_size)
+            x2 = int((cx + w / 2) * img_size)
+            y2 = int((cy + h / 2) * img_size)
+            if x2 <= x1 or y2 <= y1:
+                continue  # sub-pixel box at this resolution
+            # reject placements overlapping an earlier box: later draws
+            # would overwrite its pixels and leave an invisible GT that
+            # caps recall by construction
+            if any(x1 < px2 and px1 < x2 and y1 < py2 and py1 < y2
+                   for px1, py1, px2, py2 in placed):
+                continue
+            block = np.asarray(class_color(c), np.float32) + rng.normal(
+                0, 10, (y2 - y1, x2 - x1, 3)
+            )
+            img[y1:y2, x1:x2] = np.clip(block, 0, 255).astype(np.uint8)
+            placed.append((x1, y1, x2, y2))
+            rows.append((c, cx, cy, w, h))
+            break
     return img, rows
 
 
