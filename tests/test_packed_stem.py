@@ -138,6 +138,22 @@ def test_packed_gradients_match(cfgs, image):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)
 
 
+def test_packed_anchor_free_forward_matches(image):
+    """The packed stem is head-agnostic: the anchor-free (TAL/DFL) model
+    produces the same outputs from packed input."""
+    base = dict(num_classes=1, img_size=64, width_mult=0.25,
+                depth_mult=0.33, head_type="anchor_free")
+    cfg_u = YoloConfig(**base)
+    cfg_p = YoloConfig(**base, packed_stem=True)
+    variables = YOLO(cfg_u).init(jax.random.PRNGKey(0), jnp.asarray(image),
+                                 train=False)
+    out_u = YOLO(cfg_u).apply(variables, jnp.asarray(image), train=False)
+    packed = jnp.asarray(pack_s2d_host(image, PACK_FACTOR))
+    out_p = YOLO(cfg_p).apply(variables, packed, train=False)
+    for a, b in zip(out_u, out_p):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
 def test_packed_predictor_matches(cfgs, image):
     """Predictor/BatchPredictor with packed_stem pack on host and return
     the same detections as the unpacked serving path."""
