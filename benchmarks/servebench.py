@@ -35,6 +35,11 @@ def main():
     ap.add_argument("--img-size", type=int, default=640)
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--packed-stem", action="store_true")
+    ap.add_argument("--topk", type=int, default=None,
+                    help="NMS candidate capacity (default: "
+                         "default_topk's 4096 @640; 1024 measured +28%% "
+                         "serving throughput with no realistic-scene "
+                         "capacity loss at conf 0.5)")
     a = ap.parse_args()
 
     cfg = YoloConfig(num_classes=1, img_size=a.img_size,
@@ -56,7 +61,7 @@ def main():
     anchors = cfg.anchors_array
     from yolo_from_scratch_tpu.infer.predict import default_topk
 
-    k = default_topk(cfg.img_size)
+    k = a.topk or default_topk(cfg.img_size)
     log(f"backend: {jax.devices()[0]}  B={a.batch} @{a.img_size} "
         f"packed={a.packed_stem} topk={k}")
 
@@ -106,7 +111,8 @@ def main():
     from yolo_from_scratch_tpu.infer.predict import make_batch_postprocess
 
     post = make_batch_postprocess(model, cfg, conf_threshold=0.5,
-                                  iou_threshold=0.4, max_outputs=300)
+                                  iou_threshold=0.4, topk=a.topk,
+                                  max_outputs=300)
     ones = jnp.ones(a.batch, jnp.float32)
     zeros = jnp.zeros(a.batch, jnp.float32)
 
