@@ -356,13 +356,18 @@ class BatchPredictor:
     bucketed to 256-px multiples bound the trace count)."""
 
     def __init__(self, variables, cfg: YoloConfig, conf_threshold=0.5,
-                 iou_threshold=0.4, max_outputs=300, device_letterbox=False):
+                 iou_threshold=0.4, max_outputs=300, device_letterbox=False,
+                 topk=None):
+        # topk: NMS candidate capacity per image (default: the
+        # capacity-planned `default_topk`, 4096 @640). 1024 measures +28%
+        # serving throughput at conf 0.5 with no realistic-scene loss
+        # (BASELINE.md serving stage split).
         self.cfg = cfg
         self.variables = variables
         self.model = YOLO(cfg)
         self.device_letterbox = device_letterbox
         self._post = make_batch_postprocess(
-            self.model, cfg, conf_threshold, iou_threshold,
+            self.model, cfg, conf_threshold, iou_threshold, topk=topk,
             max_outputs=max_outputs,
         )
         if device_letterbox:
@@ -370,7 +375,7 @@ class BatchPredictor:
             lb_cfg = cfg.with_(packed_stem=False)
             self._post_lb = _wrap_device_letterbox(
                 make_batch_postprocess(YOLO(lb_cfg), lb_cfg, conf_threshold,
-                                       iou_threshold,
+                                       iou_threshold, topk=topk,
                                        max_outputs=max_outputs),
                 cfg.img_size)
 
