@@ -22,16 +22,18 @@ from yolo_from_scratch_tpu.parallel.distributed import (
 from yolo_from_scratch_tpu.parallel.mesh import make_mesh, shard_batch
 
 
-def test_local_shard_indices_disjoint_cover():
-    """Across all processes the strided shards are disjoint and cover
-    the whole dataset; sizes differ by at most one."""
+def test_local_shard_indices_cover_equal_sizes():
+    """Across all processes the strided shards cover the whole dataset
+    and are wrap-padded to EQUAL sizes (multi-host steps are collective:
+    unequal shard sizes would deadlock the gradient psum)."""
     n, pc = 103, 8
     shards = [local_shard_indices(n, pi, pc) for pi in range(pc)]
     allidx = np.concatenate(shards)
-    assert len(allidx) == n
-    assert len(np.unique(allidx)) == n
-    sizes = [len(s) for s in shards]
-    assert max(sizes) - min(sizes) <= 1
+    assert set(allidx.tolist()) == set(range(n))
+    sizes = {len(s) for s in shards}
+    assert sizes == {-(-n // pc)}  # all exactly ceil(n/pc)
+    # only the wrap-pad duplicates: total == pc * ceil(n/pc)
+    assert len(allidx) == pc * -(-n // pc)
 
 
 def test_local_shard_indices_single_process_identity():
@@ -109,6 +111,27 @@ def test_loader_process_shard_disjoint():
     assert not (seen[0] & seen[1])
 
 
+def test_loader_process_shard_collective_safe():
+    """Uneven datasets: every process yields the SAME number of batches,
+    each of exactly batch_size (wrap-padded) — a process with one extra
+    or short batch would deadlock the collective train step."""
+    n, pc, bs = 13, 2, 3
+    shapes = []
+    for pi in range(pc):
+        loader = DataLoader(_IdxDataset(n), batch_size=bs, shuffle=True,
+                            seed=3, prefetch=0, process_shard=(pi, pc))
+        batches = [images.shape[0] for images, _ in loader]
+        assert all(b == bs for b in batches)
+        shapes.append(len(batches))
+        assert len(loader) == len(batches)
+    assert len(set(shapes)) == 1
+    # degenerate: shard smaller than one batch still yields a full batch
+    tiny = DataLoader(_IdxDataset(2), batch_size=4, shuffle=False,
+                      prefetch=0, process_shard=(1, 2))
+    (images, _), = list(tiny)
+    assert images.shape[0] == 4
+
+
 def test_loader_process_shard_none_is_full():
     loader = DataLoader(_IdxDataset(5), batch_size=2, prefetch=0)
     n = sum(len(images) for images, _ in loader)
@@ -116,10 +139,13 @@ def test_loader_process_shard_none_is_full():
 
 
 def test_init_distributed_rejects_partial_args():
-    """init_distributed forwards only the provided args; calling it inside
-    an already-initialized single-process backend raises (jax refuses
-    double init) — assert the error is the jax one, not ours."""
+    """init_distributed forwards only the provided args; calling it after
+    the backend is initialized raises (jax refuses double init) — assert
+    the error is the jax one, not ours. The explicit jax.devices() call
+    matters: without an initialized backend, jax 0.9 initialize() would
+    instead start a REAL coordinator and block for its 300 s timeout."""
     from yolo_from_scratch_tpu.parallel.distributed import init_distributed
 
+    jax.devices()  # force backend init regardless of test ordering
     with pytest.raises(RuntimeError):
         init_distributed("127.0.0.1:9999", 2, 0)

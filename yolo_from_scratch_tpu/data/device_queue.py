@@ -68,7 +68,10 @@ class DeviceQueue:
             t_sh = target_sharding(self.mesh)
             return (jax.device_put(images, im_sh),
                     [jax.device_put(t, t_sh) for t in targets], valid)
-        dev = self.device or jax.devices()[0]
+        # local_devices, not devices: after jax.distributed.initialize the
+        # global list starts with process 0's chips, which other processes
+        # cannot device_put to
+        dev = self.device or jax.local_devices()[0]
         return (jax.device_put(images, dev),
                 [jax.device_put(t, dev) for t in targets], valid)
 

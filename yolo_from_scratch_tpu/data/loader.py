@@ -17,6 +17,24 @@ import threading
 import numpy as np
 
 
+def shard_indices(idx: np.ndarray, process_index: int,
+                  process_count: int) -> np.ndarray:
+    """This process's strided slice of an epoch permutation, padded (by
+    wrapping) so EVERY process gets exactly ceil(n / pc) items.
+
+    Strided (not contiguous) so that with a shuffle seed shared across
+    hosts every process permutes identically and the shards stay
+    disjoint. The wrap-pad matters in multi-host SPMD: every process
+    must issue the same number of identically-shaped steps or the
+    gradient collectives deadlock — a bare [pi::pc] slice gives shards
+    whose sizes differ by one when pc does not divide n."""
+    n, pc = len(idx), process_count
+    per = -(-n // pc)  # ceil
+    if n % pc:
+        idx = np.resize(idx, pc * per)  # cyclic tile
+    return idx[process_index::pc]
+
+
 class DataLoader:
     """Minimal shuffling/batching loader over a YoloDataset-like object.
 
@@ -52,7 +70,15 @@ class DataLoader:
             self._rng.shuffle(idx)
         if self.process_shard is not None:
             pi, pc = self.process_shard
-            idx = idx[pi::pc]
+            # equal shard sizes AND a full final batch on every process:
+            # multi-host steps are collective, so all processes must
+            # yield the same number of identically-sized batches
+            idx = shard_indices(idx, pi, pc)
+            if len(idx) % self.batch_size:
+                # np.resize tiles cyclically — handles shards smaller
+                # than a single batch too
+                idx = np.resize(
+                    idx, -(-len(idx) // self.batch_size) * self.batch_size)
         return idx
 
     def _batch_indices(self):

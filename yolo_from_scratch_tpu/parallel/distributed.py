@@ -62,14 +62,14 @@ def init_distributed(coordinator: str | None = None,
 
 def local_shard_indices(n_items: int, process_index: int | None = None,
                         process_count: int | None = None) -> np.ndarray:
-    """This process's strided slice of dataset indices [pi::pc].
+    """This process's strided slice of dataset indices — the canonical
+    sharding rule lives in `data.loader.shard_indices` (wrap-padded to
+    equal sizes so multi-host step counts stay collective-safe)."""
+    from yolo_from_scratch_tpu.data.loader import shard_indices
 
-    Strided (not contiguous) so that with a shuffle seed shared across
-    hosts every process permutes identically and the shards stay
-    disjoint while each epoch's coverage is the full dataset."""
     pi = jax.process_index() if process_index is None else process_index
     pc = jax.process_count() if process_count is None else process_count
-    return np.arange(n_items)[pi::pc]
+    return shard_indices(np.arange(n_items), pi, pc)
 
 
 def make_global_batch(mesh, local_images: np.ndarray, local_targets):

@@ -47,7 +47,16 @@ def train_epoch(train_step, state, loader, mesh=None):
 
 def eval_epoch(eval_step, params, batch_stats, loader, mesh=None):
     """Loss + grid-aligned P/R/F1 over a loader
-    (reference: train.py:960-1032). Returns (loss, P%, R%, F1%)."""
+    (reference: train.py:960-1032). Returns (loss, P%, R%, F1%).
+
+    Multi-host: evaluation runs LOCALLY on each process (mesh ignored) —
+    the per-image tp/fp/fn vectors of a cross-host global batch are not
+    addressable from any single process, and the local `valid` count
+    could not mask a global batch anyway. Each process evaluates
+    whatever its loader yields (its shard during `fit`; metrics are then
+    per-shard estimates, exact when the loader is unsharded)."""
+    if mesh is not None and jax.process_count() > 1:
+        mesh = None
     # place params once — callers may pass raw numpy checkpoint arrays,
     # which would otherwise re-upload the full model every batch
     if mesh is not None and mesh.size > 1:
@@ -57,7 +66,7 @@ def eval_epoch(eval_step, params, batch_stats, loader, mesh=None):
         params = jax.device_put(params, sh)
         batch_stats = jax.device_put(batch_stats, sh)
     else:
-        dev = jax.devices()[0]
+        dev = jax.local_devices()[0]
         params = jax.device_put(params, dev)
         batch_stats = jax.device_put(batch_stats, dev)
     losses, tps, fps, fns = [], 0, 0, 0
@@ -115,7 +124,12 @@ def fit(
     if save_path is None:
         timestamp = datetime.now().strftime("%Y%m%d_%H%M%S")
         save_path = f"yolo_{timestamp}.ckpt"
-    metrics_logger = MetricsLogger(metrics_path)
+    # multi-host: only process 0 appends to the (possibly shared-FS)
+    # JSONL — same race the process-0 checkpoint guard below avoids.
+    # Per-epoch stdout still prints on every host (each has its own
+    # console), and n_imgs/img_s are PER-PROCESS figures.
+    metrics_logger = MetricsLogger(
+        metrics_path if jax.process_index() == 0 else None)
 
     ema = None  # {'params', 'batch_stats'} — BN buffers average too
     stepped = train_step
