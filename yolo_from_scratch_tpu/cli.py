@@ -93,6 +93,12 @@ def build_parser():
                         help="With --distributed: total process count")
     parser.add_argument("--process-id", type=int, default=None,
                         help="With --distributed: this process's id")
+    parser.add_argument("--multi-scale", action="store_true",
+                        help="Train with YOLOv5-style multi-scale "
+                             "augmentation: epochs rotate through "
+                             "0.75x/1x/1.25x resolution buckets (static "
+                             "shapes, one compiled program per bucket); "
+                             "eval and the checkpoint stay at --img-size")
     parser.add_argument("--packed-stem", action="store_true",
                         help="Train with the space-to-depth packed stem "
                              "(numerically equivalent, ~25%% faster on "
@@ -400,6 +406,34 @@ def main(argv=None):
             )
             eval_step = make_eval_step(model, cfg, quirk_640=args.reference_quirks)
 
+            multi_scale = None
+            if args.multi_scale:
+                # 0.75x/1x/1.25x buckets rounded to /32 — one model/step/
+                # loader per bucket; parameters are fully convolutional so
+                # the single TrainState serves every size
+                sizes = sorted({max(32, round(cfg.img_size * f / 32) * 32)
+                                for f in (0.75, 1.0, 1.25)})
+                print(f"Multi-scale buckets: {sizes} (epoch-rotated)")
+                multi_scale = []
+                for s in sizes:
+                    cfg_s = cfg.with_(img_size=s)
+                    step_s = (train_step if s == cfg.img_size
+                              else make_train_step(
+                                  YOLO(cfg_s), tx, cfg_s,
+                                  quirk_640=args.reference_quirks))
+                    loader_s = (train_loader if s == cfg.img_size
+                                else DataLoader(
+                                    YoloDataset(
+                                        config["train"], cfg.num_classes,
+                                        anchors, s, head_type=cfg.head_type,
+                                        augment=args.augment,
+                                        seed=args.seed),
+                                    batch_size=args.batch_size, shuffle=True,
+                                    seed=args.seed,
+                                    pack_images=cfg.packed_stem,
+                                    process_shard=shard))
+                    multi_scale.append((step_s, loader_s))
+
             state, save_path = fit(
                 state, train_step, eval_step, train_loader,
                 val_loader, cfg, epochs=args.epochs, initial_lr=args.lr,
@@ -407,6 +441,7 @@ def main(argv=None):
                 metrics_path=args.metrics_jsonl, start_epoch=start_epoch,
                 save_path=save_path, use_ema=args.ema,
                 initial_ema=resume_ema if args.resume else None,
+                multi_scale=multi_scale,
             )
             print(f"\nTraining complete. Model saved to {save_path}")
     else:

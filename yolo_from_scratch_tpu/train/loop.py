@@ -107,6 +107,7 @@ def fit(
     use_ema=False,
     ema_decay=0.9999,
     initial_ema=None,
+    multi_scale=None,
 ):
     """Full training driver (reference: train.py:1520-1545): per-epoch
     train + eval + checkpoint + LR step. Returns (state, save_path).
@@ -118,7 +119,17 @@ def fit(
     the EMA params (YOLOv5 practice).
 
     `metrics_path`: optional JSONL file receiving one structured record per
-    epoch (SURVEY.md §5.5)."""
+    epoch (SURVEY.md §5.5).
+
+    `multi_scale`: optional list of (train_step, train_loader) pairs, one
+    per resolution bucket — epoch e trains with pair e % len (YOLOv5-style
+    multi-scale augmentation, TPU-idiomatic: a SMALL static set of
+    resolutions, one compiled program each, rotated per epoch so the
+    scanned/prefetched pipeline keeps static shapes; per-batch random
+    sizes would defeat XLA's shape specialization). Parameters are fully
+    convolutional, so one TrainState serves every bucket; eval and the
+    checkpoint stay at the base cfg.img_size. When given, the positional
+    `train_step`/`train_loader` are unused for training."""
     from yolo_from_scratch_tpu.utils.metrics_log import MetricsLogger
 
     if save_path is None:
@@ -131,8 +142,12 @@ def fit(
     metrics_logger = MetricsLogger(
         metrics_path if jax.process_index() == 0 else None)
 
+    # one (step, loader) pair per resolution bucket; single-scale is the
+    # degenerate one-bucket schedule
+    schedule = list(multi_scale) if multi_scale else [
+        (train_step, train_loader)]
+
     ema = None  # {'params', 'batch_stats'} — BN buffers average too
-    stepped = train_step
     if use_ema:
         from yolo_from_scratch_tpu.train.ema import (
             ema_init,
@@ -149,24 +164,28 @@ def fit(
         else:
             ema = ema_init({"params": state.params,
                             "batch_stats": state.batch_stats})
-        stepped = jax.jit(
-            wrap_train_step_with_ema(train_step, decay=ema_decay),
-            donate_argnums=(0,),  # keep the plain path's donation semantics
-        )
+        schedule = [
+            (jax.jit(
+                wrap_train_step_with_ema(fn, decay=ema_decay),
+                donate_argnums=(0,),  # keep plain-path donation semantics
+            ), loader)
+            for fn, loader in schedule
+        ]
 
     for epoch in range(start_epoch, epochs):
         lr = lr_at_epoch(epoch, warmup_epochs, epochs, initial_lr, min_lr)
         state = set_learning_rate(state, lr)
+        epoch_step, epoch_loader = schedule[epoch % len(schedule)]
 
         if use_ema:
             carry = (state, ema)
             carry, loss, bbox, obj, cls, n_imgs, dt = train_epoch(
-                stepped, carry, train_loader, mesh
+                epoch_step, carry, epoch_loader, mesh
             )
             state, ema = carry
         else:
             state, loss, bbox, obj, cls, n_imgs, dt = train_epoch(
-                train_step, state, train_loader, mesh
+                epoch_step, state, epoch_loader, mesh
             )
         eval_params = ema["params"] if use_ema else state.params
         eval_stats = ema["batch_stats"] if use_ema else state.batch_stats
