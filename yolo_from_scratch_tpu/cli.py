@@ -112,6 +112,11 @@ def build_parser():
     parser.add_argument("--augment", action="store_true",
                         help="Training-time hflip + color jitter (the "
                              "reference has no augmentation)")
+    parser.add_argument("--device-augment", action="store_true",
+                        help="Run hflip + color jitter ON the TPU inside "
+                             "the jitted train step (frees the 1-core "
+                             "host; composes with or replaces --augment, "
+                             "whose mosaic stays host-side)")
     parser.add_argument("--ema", action="store_true",
                         help="Maintain an EMA of the weights; eval and "
                              "checkpoints use the averaged params")
@@ -402,7 +407,8 @@ def main(argv=None):
             print(f"  Total epochs: {args.epochs}")
 
             train_step = make_train_step(
-                model, tx, cfg, quirk_640=args.reference_quirks
+                model, tx, cfg, quirk_640=args.reference_quirks,
+                device_augment=args.device_augment, augment_seed=args.seed,
             )
             eval_step = make_eval_step(model, cfg, quirk_640=args.reference_quirks)
 
@@ -420,7 +426,9 @@ def main(argv=None):
                     step_s = (train_step if s == cfg.img_size
                               else make_train_step(
                                   YOLO(cfg_s), tx, cfg_s,
-                                  quirk_640=args.reference_quirks))
+                                  quirk_640=args.reference_quirks,
+                                  device_augment=args.device_augment,
+                                  augment_seed=args.seed))
                     loader_s = (train_loader if s == cfg.img_size
                                 else DataLoader(
                                     YoloDataset(

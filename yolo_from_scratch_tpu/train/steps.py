@@ -107,13 +107,29 @@ def _make_loss_fn(model: YOLO, cfg: YoloConfig, quirk_640: bool):
     return loss_fn
 
 
+def _make_augment(cfg: YoloConfig, device_augment, seed: int = 0):
+    """None | True -> step-indexed device augmentation hook (ops/augment)."""
+    if not device_augment:
+        return None
+    from yolo_from_scratch_tpu.ops.augment import make_device_augment
+
+    return make_device_augment(cfg, seed=seed)
+
+
 def make_train_step(model: YOLO, tx, cfg: YoloConfig, quirk_640: bool = False,
-                    donate: bool = True):
-    """Build the jitted train step: (state, images, targets3) -> (state, metrics)."""
+                    donate: bool = True, device_augment: bool = False,
+                    augment_seed: int = 0):
+    """Build the jitted train step: (state, images, targets3) -> (state, metrics).
+
+    `device_augment`: apply random hflip + photometric jitter on-device
+    inside the step (keyed by state.step — deterministic, varies per step)."""
 
     loss_fn = _make_loss_fn(model, cfg, quirk_640)
+    aug = _make_augment(cfg, device_augment, augment_seed)
 
     def train_step(state: TrainState, images, targets):
+        if aug is not None:
+            images, targets = aug(state.step, images, targets)
         (total, (new_bs, bbox, obj, cls)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params, state.batch_stats, images, targets)
@@ -133,7 +149,8 @@ def make_train_step(model: YOLO, tx, cfg: YoloConfig, quirk_640: bool = False,
 
 
 def make_train_step_multi(model: YOLO, tx, cfg: YoloConfig, quirk_640=False,
-                          donate=True):
+                          donate=True, device_augment: bool = False,
+                          augment_seed: int = 0):
     """Scanned multi-step trainer: N sequential optimizer updates in ONE
     jitted dispatch.
 
@@ -144,10 +161,17 @@ def make_train_step_multi(model: YOLO, tx, cfg: YoloConfig, quirk_640=False,
     ~10ms of host time on a weak host (and a round trip through the axon
     tunnel); `lax.scan` over pre-staged batches amortizes that — this is
     the high-throughput path the input queue feeds.
+
+    `device_augment`: random hflip + jitter per scan step (the staged
+    batches are fixed on device, so this is the ONLY way those epochs see
+    augmentation at all — host augmentation never touches them).
     """
     loss_fn = _make_loss_fn(model, cfg, quirk_640)
+    aug = _make_augment(cfg, device_augment, augment_seed)
 
     def one_step(state, images, targets):
+        if aug is not None:
+            images, targets = aug(state.step, images, targets)
         (total, (new_bs, bbox, obj, cls)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params, state.batch_stats, images, targets)
@@ -171,7 +195,9 @@ def make_train_step_multi(model: YOLO, tx, cfg: YoloConfig, quirk_640=False,
 
 
 def make_train_step_accum(model: YOLO, tx, cfg: YoloConfig, n_accum: int,
-                          quirk_640: bool = False, donate: bool = True):
+                          quirk_640: bool = False, donate: bool = True,
+                          device_augment: bool = False,
+                          augment_seed: int = 0):
     """Gradient-accumulation trainer: ONE optimizer update from `n_accum`
     micro-batches (mean of micro-batch gradients == the gradient of the
     concatenated batch for mean-reduced losses, up to the per-batch masked
@@ -185,6 +211,7 @@ def make_train_step_accum(model: YOLO, tx, cfg: YoloConfig, n_accum: int,
     micro-batch (lax.scan), while the update sees the full batch.
     """
     loss_fn = _make_loss_fn(model, cfg, quirk_640)
+    aug = _make_augment(cfg, device_augment, augment_seed)
 
     def grads_one(params, batch_stats, images, targets):
         (total, (new_bs, bbox, obj, cls)), grads = jax.value_and_grad(
@@ -198,15 +225,21 @@ def make_train_step_accum(model: YOLO, tx, cfg: YoloConfig, n_accum: int,
 
         def body(carry, batch):
             grads_acc, batch_stats = carry
-            imgs, a, b, c = batch
+            micro, imgs, a, b, c = batch
+            targets = [a, b, c]
+            if aug is not None:
+                # distinct key per (step, micro-batch)
+                imgs, targets = aug(state.step * n_accum + micro, imgs,
+                                    targets)
             grads, new_bs, metrics = grads_one(
-                state.params, batch_stats, imgs, [a, b, c]
+                state.params, batch_stats, imgs, targets
             )
             grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
             return (grads_acc, new_bs), metrics
 
         (grads_sum, new_bs), metrics = jax.lax.scan(
-            body, (zero_grads, state.batch_stats), (images, t3, t4, t5)
+            body, (zero_grads, state.batch_stats),
+            (jnp.arange(n_accum, dtype=jnp.int32), images, t3, t4, t5)
         )
         grads = jax.tree.map(lambda g: g / n_accum, grads_sum)
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
