@@ -51,10 +51,14 @@ CONFIGS = {
 }
 
 
-def run(spec, lr=5e-3, batch=8, stage="all"):
+def run(spec, lr=5e-3, batch=8, stage="all", augment=False):
     """stage: 'all' | 'train' (train + save ckpt, skip eval) | 'eval'
     (load ckpt, mAP only) — the axon remote compiler makes train + eval
-    compiles together overrun a single 10-minute call budget."""
+    compiles together overrun a single 10-minute call budget.
+
+    augment: device-side hflip + photometric jitter inside the scanned
+    step (ops/augment.py) — the pre-staged epochs otherwise repeat the
+    exact same batches, which caps the small-data configs."""
     root = f"/tmp/cfgbench_{spec['name']}"
     ckpt = f"{root}/trained.ckpt"
     if stage == "eval":
@@ -106,7 +110,7 @@ def run(spec, lr=5e-3, batch=8, stage="all"):
         model, tx, state = create_train_state(jax.random.PRNGKey(0), cfg, lr,
                                               batch_size=1)
     state = jax.device_put(state, jax.devices()[0])
-    steps = make_train_step_multi(model, tx, cfg)
+    steps = make_train_step_multi(model, tx, cfg, device_augment=augment)
 
     t_compile = time.time()
     times = []
@@ -152,6 +156,7 @@ def _eval(spec, cfg, variables, root, train_ips):
         "map": round(m["map"] * 100, 1),
         "epochs": spec["epochs"], "train_images": spec["n_train"],
         "kmeans_anchors": bool(spec["kmeans"]),
+        "device_augment": bool(spec.get("augment", False)),
     }
     print(json.dumps(result), flush=True)
     out = Path(__file__).parent / "configs_results.jsonl"
@@ -162,11 +167,15 @@ def _eval(spec, cfg, variables, root, train_ips):
 
 if __name__ == "__main__":
     stage = "all"
+    augment = False
     keys = []
     for a in sys.argv[1:]:
         if a in ("--train-only", "--eval-only"):
             stage = a[2:].split("-")[0]
+        elif a == "--augment":
+            augment = True
         else:
             keys.append(a)
     for key in keys or ["2", "3", "4"]:
-        run(CONFIGS[key], stage=stage)
+        spec = dict(CONFIGS[key], augment=augment)
+        run(spec, stage=stage, augment=augment)
