@@ -40,6 +40,7 @@ from yolo_from_scratch_tpu.utils.yaml_cfg import load_dataset_yaml
 
 CKPT_EXTS = (".ckpt", ".msgpack")
 IMG_EXTS = (".jpg", ".png", ".jpeg")
+ART_EXTS = (".yexp",)  # frozen StableHLO serving artifacts (infer/export.py)
 
 
 def build_parser():
@@ -133,6 +134,19 @@ def build_parser():
                         help="Resume training from a checkpoint (restores "
                              "params, optimizer state, and epoch — the "
                              "reference has no resume path)")
+    parser.add_argument("--export", type=str, default=None, metavar="OUT.yexp",
+                        help="With a .ckpt: freeze the batched inference "
+                             "program (weights baked in) to a StableHLO "
+                             "serving artifact via jax.export; serve it "
+                             "with `train.py image.jpg model.yexp`")
+    parser.add_argument("--export-batch", type=int, default=8,
+                        help="Frozen batch size for --export (default: 8)")
+    parser.add_argument("--export-platforms", type=str, default=None,
+                        metavar="P1,P2",
+                        help="Lowering targets for --export (e.g. "
+                             "'tpu,cpu'; default: current backend). "
+                             "Multi-platform artifacts use the portable "
+                             "lax NMS; tpu-only keeps the Pallas kernel")
     return parser
 
 
@@ -198,6 +212,7 @@ def main(argv=None):
     )
     ckpt_file = next((a for a in args.files if a.endswith(CKPT_EXTS)), None)
     image_file = next((a for a in args.files if a.endswith(IMG_EXTS)), None)
+    artifact_file = next((a for a in args.files if a.endswith(ART_EXTS)), None)
 
     if args.compute_anchors:
         if not yaml_file:
@@ -216,9 +231,63 @@ def main(argv=None):
         config = load_dataset_yaml(yaml_file)
         num_classes = config.get("nc", 1)
 
+    if artifact_file and not image_file:
+        # ----- Artifact inspect mode -----
+        from yolo_from_scratch_tpu.infer.export import load_serving_artifact
+
+        art = load_serving_artifact(artifact_file)
+        print(f"Serving artifact: {artifact_file}")
+        for key, val in sorted(art.meta.items()):
+            print(f"  {key}: {val}")
+        return
+
+    if image_file and artifact_file:
+        # ----- Frozen-artifact inference mode -----
+        from yolo_from_scratch_tpu.infer.export import load_serving_artifact
+
+        art = load_serving_artifact(artifact_file)
+        m = art.meta
+        print(f"Serving artifact: {artifact_file} (batch {m['batch_size']}, "
+              f"img {m['img_size']}, classes {m['num_classes']}, "
+              f"platforms {','.join(m['platforms'])})")
+        print(f"Running inference on {image_file}")
+        detections = art([image_file])[0]
+        if len(detections) == 0:
+            print("No objects detected.")
+        else:
+            print(f"\nDetected {len(detections)} object(s):")
+            for i, (x1, y1, x2, y2, conf, class_id) in enumerate(detections):
+                print(f"  {i + 1}. Box: ({x1:.1f}, {y1:.1f}, {x2:.1f}, "
+                      f"{y2:.1f}), Confidence: {conf:.3f}, "
+                      f"Class: {int(class_id)}")
+        return
+
     size_cfg = YOLO_SIZES[args.size]
     print(f"Creating YOLOv5{args.size.upper()} "
           f"(width={size_cfg['width_mult']}, depth={size_cfg['depth_mult']})")
+
+    if ckpt_file and args.export:
+        # ----- Export mode: freeze inference to a serving artifact -----
+        from yolo_from_scratch_tpu.infer.export import save_serving_artifact
+
+        variables, cfg, meta = _load_model_from_ckpt(ckpt_file, args.dtype)
+        if args.packed_stem:
+            cfg = cfg.with_(packed_stem=True)
+        platforms = (args.export_platforms.split(",")
+                     if args.export_platforms else None)
+        header = save_serving_artifact(
+            args.export, variables, cfg, args.export_batch,
+            platforms=platforms,
+        )
+        import os
+
+        print(f"Exported {ckpt_file} -> {args.export} "
+              f"({os.path.getsize(args.export):,} bytes)")
+        print(f"  batch {header['batch_size']}, img {header['img_size']}, "
+              f"classes {header['num_classes']}, "
+              f"platforms {','.join(header['platforms'])}, "
+              f"nms {'pallas' if header['pallas_nms'] else 'lax'}")
+        return
 
     if ckpt_file and not yaml_file and not image_file:
         # ----- Inspect mode -----
