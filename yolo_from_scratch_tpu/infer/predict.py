@@ -38,12 +38,15 @@ def default_topk(img_size: int, preds_per_cell: int = 3) -> int:
 
 def make_postprocess(model: YOLO, cfg: YoloConfig, conf_threshold=0.5,
                      iou_threshold=0.4, topk=None, max_outputs=None,
-                     use_pallas_nms=None):
+                     use_pallas_nms=None, apply_fn=None):
     """Build the jitted forward+postprocess:
     (variables, img (1,S,S,3), scale, pad_top, pad_left)
       -> (boxes (K,4) px orig-image, scores (K,), classes (K,), valid (K,)).
 
     `use_pallas_nms`: None = auto (Pallas kernel on TPU, lax elsewhere).
+    `apply_fn`: forward override, (variables, imgs) -> [p3, p4, p5] —
+    the int8 path (infer/quantize.py) hooks in here; `variables` is then
+    whatever pytree the override expects.
     """
     anchors = cfg.anchors_array
     img_size = cfg.img_size
@@ -61,9 +64,11 @@ def make_postprocess(model: YOLO, cfg: YoloConfig, conf_threshold=0.5,
     else:
         nms_fn = batched_nms_fixed
 
+    forward = apply_fn or (lambda v, im: model.apply(v, im, train=False))
+
     @jax.jit
     def postprocess(variables, img, scale, pad_top, pad_left):
-        preds = model.apply(variables, img, train=False)
+        preds = forward(variables, img)
 
         if cfg.head_type == "anchor_free":
             from yolo_from_scratch_tpu.config import STRIDES
@@ -129,7 +134,7 @@ def make_postprocess(model: YOLO, cfg: YoloConfig, conf_threshold=0.5,
 
 def make_batch_postprocess(model: YOLO, cfg: YoloConfig, conf_threshold=0.5,
                            iou_threshold=0.4, topk=None, max_outputs=300,
-                           use_pallas_nms=None):
+                           use_pallas_nms=None, apply_fn=None):
     """Batched serving path: (variables, imgs (B, S, S, 3), scales (B,),
     pad_tops (B,), pad_lefts (B,)) -> per-image fixed-shape detections
     (boxes (B, K, 4), scores (B, K), classes (B, K), valid (B, K)).
@@ -185,9 +190,11 @@ def make_batch_postprocess(model: YOLO, cfg: YoloConfig, conf_threshold=0.5,
         top_scores, idx = jax.lax.top_k(score, k)
         return corners[idx], top_scores, cls_id[idx]
 
+    forward = apply_fn or (lambda v, im: model.apply(v, im, train=False))
+
     @jax.jit
     def postprocess(variables, imgs, scales, pad_tops, pad_lefts):
-        preds = model.apply(variables, imgs, train=False)
+        preds = forward(variables, imgs)
         b = imgs.shape[0]
         boxes_all, obj_all, cls_all = [], [], []
         if cfg.head_type == "anchor_free":
@@ -257,6 +264,20 @@ def _wrap_device_letterbox(inner_post, img_size):
     return post_lb
 
 
+def _quantize(model, variables, cfg, calib_images):
+    """Shared PTQ setup for the predictors: calibrate on the given images
+    and return ((variables, qtree) bundle, int8 apply_fn)."""
+    from yolo_from_scratch_tpu.infer.quantize import (
+        calib_batches_from_images,
+        quantize_model,
+    )
+
+    batches = calib_batches_from_images(
+        calib_images, cfg.img_size, packed_stem=cfg.packed_stem
+    )
+    return quantize_model(model, variables, batches)
+
+
 class Predictor:
     """Reusable single-image predictor (compiles once per config).
 
@@ -267,13 +288,24 @@ class Predictor:
 
     def __init__(self, variables, cfg: YoloConfig, conf_threshold=0.5,
                  iou_threshold=0.4, topk=None, max_outputs=None,
-                 device_letterbox=False):
+                 device_letterbox=False, quantize_calib=None):
         self.cfg = cfg
         self.variables = variables
         self.model = YOLO(cfg)
         self.device_letterbox = device_letterbox
+        apply_fn = None
+        if quantize_calib is not None:
+            if device_letterbox:
+                raise ValueError(
+                    "quantize_calib + device_letterbox unsupported: the "
+                    "calibrated layout must match the serving layout"
+                )
+            self.variables, apply_fn = _quantize(
+                self.model, variables, cfg, quantize_calib
+            )
         self._post = make_postprocess(
-            self.model, cfg, conf_threshold, iou_threshold, topk, max_outputs
+            self.model, cfg, conf_threshold, iou_threshold, topk,
+            max_outputs, apply_fn=apply_fn,
         )
         if device_letterbox:
             # the single-image path reuses the batched program at B=1.
@@ -357,18 +389,30 @@ class BatchPredictor:
 
     def __init__(self, variables, cfg: YoloConfig, conf_threshold=0.5,
                  iou_threshold=0.4, max_outputs=300, device_letterbox=False,
-                 topk=None):
+                 topk=None, quantize_calib=None):
         # topk: NMS candidate capacity per image (default: the
         # capacity-planned `default_topk`, 4096 @640). 1024 measures +28%
         # serving throughput at conf 0.5 with no realistic-scene loss
         # (BASELINE.md serving stage split).
+        # quantize_calib: list of images -> serve the int8 PTQ path
+        # (infer/quantize.py) calibrated on them.
         self.cfg = cfg
         self.variables = variables
         self.model = YOLO(cfg)
         self.device_letterbox = device_letterbox
+        apply_fn = None
+        if quantize_calib is not None:
+            if device_letterbox:
+                raise ValueError(
+                    "quantize_calib + device_letterbox unsupported: the "
+                    "calibrated layout must match the serving layout"
+                )
+            self.variables, apply_fn = _quantize(
+                self.model, variables, cfg, quantize_calib
+            )
         self._post = make_batch_postprocess(
             self.model, cfg, conf_threshold, iou_threshold, topk=topk,
-            max_outputs=max_outputs,
+            max_outputs=max_outputs, apply_fn=apply_fn,
         )
         if device_letterbox:
             # see Predictor: unpacked graph behind the device letterbox
