@@ -88,3 +88,27 @@ def test_artifact_is_selfcontained(artifact_path, temp_dataset_dir):
     img = str(next((temp_dataset_dir / "val" / "images").glob("*.jpg")))
     out = art([img])
     assert isinstance(out, list) and len(out) == 1
+
+
+def test_int8_artifact_roundtrip(cfg, model_and_vars, temp_dataset_dir,
+                                 tmp_path):
+    """A quantized frozen artifact serves and matches the live int8
+    BatchPredictor."""
+    from yolo_from_scratch_tpu.infer.predict import BatchPredictor
+
+    _, variables = model_and_vars
+    imgs = [str(p) for p in
+            sorted((temp_dataset_dir / "val" / "images").glob("*.jpg"))[:2]]
+    path = tmp_path / "int8.yexp"
+    save_serving_artifact(path, variables, cfg, batch_size=2,
+                          conf_threshold=1e-3, max_outputs=512,
+                          quantize_calib=imgs)
+    art = load_serving_artifact(path)
+    assert art.meta["int8"] is True
+    live = BatchPredictor(variables, cfg, conf_threshold=1e-3,
+                          max_outputs=512, quantize_calib=imgs)
+    for ds, db in zip(live(imgs), art(imgs)):
+        assert len(ds) == len(db)
+        a, b = np.asarray(sorted(ds)), np.asarray(sorted(db))
+        if len(a):
+            np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-4)

@@ -281,9 +281,20 @@ def main(argv=None):
             cfg = cfg.with_(packed_stem=True)
         platforms = (args.export_platforms.split(",")
                      if args.export_platforms else None)
+        calib = None
+        if args.int8:
+            if config is None:
+                print("ERROR: --export --int8 needs a dataset YAML for "
+                      "calibration images (train.py data.yaml model.ckpt "
+                      "--export out.yexp --int8)")
+                sys.exit(1)
+            from yolo_from_scratch_tpu.data.dataset import YoloDataset as _DS
+
+            calib = _DS(config["train"], cfg.num_classes, cfg.anchors_array,
+                        cfg.img_size, head_type=cfg.head_type).imgs[:16]
         header = save_serving_artifact(
             args.export, variables, cfg, args.export_batch,
-            platforms=platforms,
+            platforms=platforms, quantize_calib=calib,
         )
         import os
 
@@ -292,7 +303,8 @@ def main(argv=None):
         print(f"  batch {header['batch_size']}, img {header['img_size']}, "
               f"classes {header['num_classes']}, "
               f"platforms {','.join(header['platforms'])}, "
-              f"nms {'pallas' if header['pallas_nms'] else 'lax'}")
+              f"nms {'pallas' if header['pallas_nms'] else 'lax'}"
+              + (", int8" if header["int8"] else ""))
         return
 
     if ckpt_file and not yaml_file and not image_file:

@@ -48,13 +48,17 @@ MAGIC = b"YFSTPU1\n"
 
 def export_serving(variables, cfg: YoloConfig, batch_size: int,
                    conf_threshold=0.5, iou_threshold=0.4, topk=None,
-                   max_outputs=300, platforms=None):
+                   max_outputs=300, platforms=None, quantize_calib=None):
     """Build and export the frozen batched-inference program.
 
     Returns (jax.export.Exported, header dict). The exported callable
     takes (imgs (B,S,S,C), scales (B,), pad_tops (B,), pad_lefts (B,))
     — weights are baked in — and returns (boxes (B,K,4), scores (B,K),
     classes (B,K), valid (B,K)).
+
+    `quantize_calib`: list of images — freeze the int8 PTQ program
+    instead (infer/quantize.py): the int8 weights and scales become the
+    baked-in constants.
     """
     import jax.numpy as jnp
 
@@ -63,9 +67,16 @@ def export_serving(variables, cfg: YoloConfig, batch_size: int,
     # Pallas/Mosaic lowers only to TPU; a portable artifact needs lax NMS
     use_pallas = platforms == ["tpu"]
     model = YOLO(cfg)
+    apply_fn = None
+    if quantize_calib is not None:
+        from yolo_from_scratch_tpu.infer.predict import _quantize
+
+        variables, apply_fn = _quantize(model, variables, cfg,
+                                        quantize_calib)
     post = make_batch_postprocess(
         model, cfg, conf_threshold, iou_threshold, topk=topk,
         max_outputs=max_outputs, use_pallas_nms=use_pallas,
+        apply_fn=apply_fn,
     )
 
     def frozen(imgs, scales, pad_tops, pad_lefts):
@@ -97,6 +108,7 @@ def export_serving(variables, cfg: YoloConfig, batch_size: int,
         "max_outputs": max_outputs,
         "platforms": list(platforms),
         "pallas_nms": use_pallas,
+        "int8": quantize_calib is not None,
     }
     return exported, header
 
