@@ -35,6 +35,8 @@ def main():
     ap.add_argument("--img-size", type=int, default=640)
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--packed-stem", action="store_true")
+    ap.add_argument("--int8", action="store_true",
+                    help="additionally time the int8 PTQ path")
     ap.add_argument("--topk", type=int, default=None,
                     help="NMS candidate capacity (default: "
                          "default_topk's 4096 @640; 1024 measured +28%% "
@@ -124,6 +126,31 @@ def main():
     log(f"full (+NMS+unletterbox): {t4 * 1e3:7.2f} ms  "
         f"(NMS+rest {1e3 * (t4 - t3):+.2f})  "
         f"=> {a.batch / t4:6.0f} img/s")
+
+    if a.int8:
+        # int8 PTQ path (infer/quantize.py): same program with every
+        # ConvBNSiLU swapped for a BN-folded int8 MXU conv
+        from yolo_from_scratch_tpu.infer.quantize import quantize_model
+
+        bundle, qapply = quantize_model(model, variables, [imgs_np])
+
+        def qfwd(x):
+            return _dep(x, qapply(bundle, x))
+
+        t5 = time_per_iter(qfwd, imgs, max(a.iters // 4, 2), a.iters)
+        log(f"int8 forward:            {t5 * 1e3:7.2f} ms "
+            f"({a.batch / t5:6.0f} img/s)  vs bf16 {t1 / t5:.2f}x")
+
+        qpost = make_batch_postprocess(model, cfg, conf_threshold=0.5,
+                                       iou_threshold=0.4, topk=a.topk,
+                                       max_outputs=300, apply_fn=qapply)
+
+        def qfull(x):
+            return _dep(x, qpost(bundle, x, ones, zeros, zeros))
+
+        t6 = time_per_iter(qfull, imgs, max(a.iters // 4, 2), a.iters)
+        log(f"int8 full:               {t6 * 1e3:7.2f} ms  "
+            f"=> {a.batch / t6:6.0f} img/s  vs bf16 {t4 / t6:.2f}x")
 
 
 if __name__ == "__main__":

@@ -182,3 +182,29 @@ def test_quantize_rejects_device_letterbox(cfg, model_and_vars):
     with pytest.raises(ValueError, match="device_letterbox"):
         BatchPredictor(variables, cfg, device_letterbox=True,
                        quantize_calib=["x.jpg"])
+
+
+def test_quant_with_packed_stem(cfg, model_and_vars):
+    """--packed-stem + --int8 compose: the packed stem modules stay float
+    (PackedConvBNSiLU is not intercepted) and every other conv quantizes;
+    probabilities match the float packed forward."""
+    from yolo_from_scratch_tpu.models.packed import pack_s2d_host
+    from yolo_from_scratch_tpu.models.yolo import YOLO
+
+    _, variables = model_and_vars
+    pcfg = cfg.with_(packed_stem=True)
+    pmodel = YOLO(pcfg)
+    imgs = np.random.default_rng(11).random(
+        (2, cfg.img_size, cfg.img_size, 3), np.float32
+    )
+    packed = jnp.asarray(pack_s2d_host(imgs))
+    scales = Q.calibrate(pmodel, variables, [packed])
+    assert "stem0" not in scales and "stem1" not in scales
+    assert len(scales) == 57
+    bundle, qapply = Q.quantize_model(pmodel, variables, [packed])
+    preds_f = pmodel.apply(variables, packed, train=False)
+    preds_q = qapply(bundle, packed)
+    for pf, pq in zip(preds_f, preds_q):
+        prob_f = jax.nn.sigmoid(pf[..., 4:])
+        prob_q = jax.nn.sigmoid(pq[..., 4:])
+        assert float(jnp.max(jnp.abs(prob_f - prob_q))) < 2e-3
