@@ -208,3 +208,28 @@ def test_quant_with_packed_stem(cfg, model_and_vars):
         prob_f = jax.nn.sigmoid(pf[..., 4:])
         prob_q = jax.nn.sigmoid(pq[..., 4:])
         assert float(jnp.max(jnp.abs(prob_f - prob_q))) < 2e-3
+
+
+def test_quant_anchor_free_head(cfg, model_and_vars):
+    """The decoupled (anchor-free) head quantizes too — its box/cls
+    branches are ConvBNSiLU stacks, so interception covers both head
+    families with zero head-specific code."""
+    from yolo_from_scratch_tpu.config import YoloConfig
+    from yolo_from_scratch_tpu.models.yolo import YOLO, init_model
+
+    af_cfg = YoloConfig(num_classes=3, img_size=cfg.img_size,
+                        width_mult=0.25, head_type="anchor_free")
+    model, variables = init_model(jax.random.PRNGKey(0), af_cfg)
+    imgs = np.random.default_rng(5).random(
+        (2, af_cfg.img_size, af_cfg.img_size, 3), np.float32
+    )
+    scales = Q.calibrate(model, variables, [imgs])
+    # 59 trunk convs minus 6 DetectHead convs, plus 4 per DecoupledHead
+    assert len(scales) == 59 - 6 + 12
+    bundle, qapply = Q.quantize_model(model, variables, [imgs])
+    preds_f = model.apply(variables, jnp.asarray(imgs), train=False)
+    preds_q = qapply(bundle, jnp.asarray(imgs))
+    for pf, pq in zip(preds_f, preds_q):
+        cls_f = jax.nn.sigmoid(pf[..., -af_cfg.num_classes:])
+        cls_q = jax.nn.sigmoid(pq[..., -af_cfg.num_classes:])
+        assert float(jnp.max(jnp.abs(cls_f - cls_q))) < 2e-3
