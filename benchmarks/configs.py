@@ -156,7 +156,7 @@ def _eval(spec, cfg, variables, root, train_ips):
         "map": round(m["map"] * 100, 1),
         "epochs": spec["epochs"], "train_images": spec["n_train"],
         "kmeans_anchors": bool(spec["kmeans"]),
-        "device_augment": bool(spec.get("augment", False)),
+        "device_augment": spec.get("augment", False) or False,
     }
     print(json.dumps(result), flush=True)
     out = Path(__file__).parent / "configs_results.jsonl"
@@ -174,6 +174,10 @@ if __name__ == "__main__":
             stage = a[2:].split("-")[0]
         elif a == "--augment":
             augment = True
+        elif a == "--augment-flip":
+            # hflip only: photometric jitter is label noise on the
+            # color-coded class regimes (config 3: 50.9 -> 28.4 mAP50)
+            augment = "flip"
         else:
             keys.append(a)
     for key in keys or ["2", "3", "4"]:

@@ -151,3 +151,35 @@ def test_train_step_with_device_augment(cfg, shared_train_setup):
     # photometric jitter guarantees the augmented batch differs
     assert float(m1["loss"]) != pytest.approx(float(m_plain["loss"]),
                                               rel=1e-6)
+
+
+def test_flip_only_mode_preserves_pixel_values():
+    """jitter=False ('flip' mode): every output image is exactly the
+    original or its mirror — no photometric change (the mode exists
+    because jitter is label noise on color-coded class regimes)."""
+    from yolo_from_scratch_tpu.ops.augment import augment_batch
+
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.random((4, 16, 16, 3), np.float32))
+    t = jnp.zeros((4, 2, 2, 3, 6), jnp.float32)
+    out, _ = augment_batch(jax.random.PRNGKey(1), imgs, [t, t, t],
+                           jitter=False)
+    for i in range(4):
+        o, a = np.asarray(out[i]), np.asarray(imgs[i])
+        assert (o == a).all() or (o == a[:, ::-1, :]).all()
+
+
+def test_make_device_augment_flip_mode():
+    from yolo_from_scratch_tpu.ops.augment import make_device_augment
+
+    cfg = YoloConfig(num_classes=1, img_size=64, width_mult=0.25)
+    aug = make_device_augment(cfg, seed=0, jitter=False)
+    rng = np.random.default_rng(1)
+    imgs = jnp.asarray(rng.random((2, 64, 64, 3), np.float32))
+    t3 = jnp.zeros((2, 8, 8, 3, 6), jnp.float32)
+    t4 = jnp.zeros((2, 4, 4, 3, 6), jnp.float32)
+    t5 = jnp.zeros((2, 2, 2, 3, 6), jnp.float32)
+    out, _ = aug(7, imgs, [t3, t4, t5])
+    for i in range(2):
+        o, a = np.asarray(out[i]), np.asarray(imgs[i])
+        assert (o == a).all() or (o == a[:, ::-1, :]).all()

@@ -113,11 +113,14 @@ def build_parser():
     parser.add_argument("--augment", action="store_true",
                         help="Training-time hflip + color jitter (the "
                              "reference has no augmentation)")
-    parser.add_argument("--device-augment", action="store_true",
-                        help="Run hflip + color jitter ON the TPU inside "
-                             "the jitted train step (frees the 1-core "
-                             "host; composes with or replaces --augment, "
-                             "whose mosaic stays host-side)")
+    parser.add_argument("--device-augment", nargs="?", const="full",
+                        default=False, choices=["full", "flip"],
+                        help="Run augmentation ON the TPU inside the "
+                             "jitted train step (frees the 1-core host; "
+                             "composes with or replaces --augment, whose "
+                             "mosaic stays host-side). Bare/'full' = "
+                             "hflip + color jitter; 'flip' = hflip only "
+                             "(use when class identity is color-coded)")
     parser.add_argument("--ema", action="store_true",
                         help="Maintain an EMA of the weights; eval and "
                              "checkpoints use the averaged params")

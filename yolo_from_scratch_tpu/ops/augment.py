@@ -89,9 +89,14 @@ def augment_batch(key, images, targets, packed: bool = False,
     return images, out_targets
 
 
-def make_device_augment(cfg, seed: int = 0):
+def make_device_augment(cfg, seed: int = 0, jitter: bool = True):
     """Step-indexed augmentation hook for the train steps:
-    aug(step, images, targets) -> (images, targets)."""
+    aug(step, images, targets) -> (images, targets).
+
+    `jitter=False` = geometric-only (hflip) augmentation — photometric
+    jitter is label noise whenever class identity is carried by color
+    (measured: config 3's color-coded 80-class regime drops 50.9 -> 28.4
+    mAP50 with jitter on, see BASELINE.md)."""
     base = jax.random.PRNGKey(seed)
     packed = bool(getattr(cfg, "packed_stem", False))
     anchor_free = cfg.head_type == "anchor_free"
@@ -99,6 +104,6 @@ def make_device_augment(cfg, seed: int = 0):
     def aug(step, images, targets):
         key = jax.random.fold_in(base, step)
         return augment_batch(key, images, targets, packed=packed,
-                             anchor_free=anchor_free)
+                             anchor_free=anchor_free, jitter=jitter)
 
     return aug

@@ -108,12 +108,16 @@ def _make_loss_fn(model: YOLO, cfg: YoloConfig, quirk_640: bool):
 
 
 def _make_augment(cfg: YoloConfig, device_augment, seed: int = 0):
-    """None | True -> step-indexed device augmentation hook (ops/augment)."""
+    """device_augment: False | True/'full' (hflip + photometric jitter) |
+    'flip' (hflip only — for datasets whose class signal lives in color).
+    Returns a step-indexed device augmentation hook (ops/augment) or
+    None."""
     if not device_augment:
         return None
     from yolo_from_scratch_tpu.ops.augment import make_device_augment
 
-    return make_device_augment(cfg, seed=seed)
+    return make_device_augment(cfg, seed=seed,
+                               jitter=(device_augment != "flip"))
 
 
 def make_train_step(model: YOLO, tx, cfg: YoloConfig, quirk_640: bool = False,
