@@ -233,3 +233,26 @@ def test_quant_anchor_free_head(cfg, model_and_vars):
         cls_f = jax.nn.sigmoid(pf[..., -af_cfg.num_classes:])
         cls_q = jax.nn.sigmoid(pq[..., -af_cfg.num_classes:])
         assert float(jnp.max(jnp.abs(cls_f - cls_q))) < 2e-3
+
+
+def test_percentile_calibration_smaller_scales(cfg, model_and_vars):
+    """99th-percentile calibration yields strictly tighter (<=) activation
+    scales than abs-max, and the quantized forward still tracks float at
+    the probability level."""
+    model, variables = model_and_vars
+    imgs = np.random.default_rng(3).random(
+        (2, cfg.img_size, cfg.img_size, 3), np.float32
+    )
+    s_max = Q.calibrate(model, variables, [imgs])
+    s_pct = Q.calibrate(model, variables, [imgs], percentile=99.0)
+    assert set(s_max) == set(s_pct)
+    assert all(s_pct[k] <= s_max[k] + 1e-12 for k in s_max)
+    assert any(s_pct[k] < s_max[k] * 0.999 for k in s_max)
+    bundle, qapply = Q.quantize_model(model, variables, [imgs],
+                                      percentile=99.0)
+    preds_f = model.apply(variables, jnp.asarray(imgs), train=False)
+    preds_q = qapply(bundle, jnp.asarray(imgs))
+    for pf, pq in zip(preds_f, preds_q):
+        prob_f = jax.nn.sigmoid(pf[..., 4:])
+        prob_q = jax.nn.sigmoid(pq[..., 4:])
+        assert float(jnp.max(jnp.abs(prob_f - prob_q))) < 5e-3

@@ -40,11 +40,20 @@ def _is_conv_call(context):
             and context.method_name == "__call__")
 
 
-def make_calibration_fn(model):
-    """Jitted (variables, imgs) -> {path: abs-max of the conv input}.
+def make_calibration_fn(model, percentile=None):
+    """Jitted (variables, imgs) -> {path: activation statistic of the
+    conv input} — abs-max by default, or the given percentile of |x|
+    (e.g. 99.9: clips rare outliers so the int8 range covers the bulk of
+    the distribution at finer granularity; standard PTQ practice).
 
-    Interception happens at trace time, so the recorded maxes are traced
-    values returned as ordinary outputs of one compiled program."""
+    Interception happens at trace time, so the recorded statistics are
+    traced values returned as ordinary outputs of one compiled program."""
+
+    def stat(x):
+        ax = jnp.abs(x.astype(jnp.float32))
+        if percentile is None:
+            return jnp.max(ax)
+        return jnp.percentile(ax.reshape(-1), percentile)
 
     def calib(variables, imgs):
         rec = {}
@@ -52,7 +61,7 @@ def make_calibration_fn(model):
         def icpt(next_fun, args, kwargs, context):
             if _is_conv_call(context):
                 key = "/".join(context.module.path)
-                m = jnp.max(jnp.abs(args[0].astype(jnp.float32)))
+                m = stat(args[0])
                 rec[key] = jnp.maximum(rec[key], m) if key in rec else m
             return next_fun(*args, **kwargs)
 
@@ -63,10 +72,12 @@ def make_calibration_fn(model):
     return jax.jit(calib)
 
 
-def calibrate(model, variables, batches):
+def calibrate(model, variables, batches, percentile=None):
     """Run calibration batches (list of (B,S,S,C) float arrays in [0,1])
-    through the float model; returns {path: a_scale} activation scales."""
-    fn = make_calibration_fn(model)
+    through the float model; returns {path: a_scale} activation scales.
+    `percentile`: clip outliers at this percentile of |x| instead of the
+    abs-max (per batch; the max across batches is kept)."""
+    fn = make_calibration_fn(model, percentile)
     maxes = {}
     for imgs in batches:
         rec = jax.device_get(fn(variables, jnp.asarray(imgs)))
@@ -162,10 +173,12 @@ def make_quant_apply(model):
     return apply_fn
 
 
-def quantize_model(model, variables, calib_batches, skip=()):
+def quantize_model(model, variables, calib_batches, skip=(),
+                   percentile=None):
     """One-call PTQ: calibrate + quantize. Returns (bundle, apply_fn)
     where bundle = (variables, qtree) is the serving state pytree."""
-    a_scales = calibrate(model, variables, calib_batches)
+    a_scales = calibrate(model, variables, calib_batches,
+                         percentile=percentile)
     qtree = quantize_params(variables, a_scales, skip=skip)
     return (variables, qtree), make_quant_apply(model)
 
