@@ -37,6 +37,7 @@ def main():
     ap.add_argument("--packed-stem", action="store_true")
     ap.add_argument("--int8", action="store_true",
                     help="additionally time the int8 PTQ path")
+    ap.add_argument("--size", default="s", choices=["n", "s", "m", "l", "x"])
     ap.add_argument("--topk", type=int, default=None,
                     help="NMS candidate capacity (default: "
                          "default_topk's 4096 @640; 1024 measured +28%% "
@@ -44,8 +45,11 @@ def main():
                          "capacity loss at conf 0.5)")
     a = ap.parse_args()
 
+    from yolo_from_scratch_tpu.config import YOLO_SIZES
+
     cfg = YoloConfig(num_classes=1, img_size=a.img_size,
-                     compute_dtype="bfloat16", packed_stem=a.packed_stem)
+                     compute_dtype="bfloat16", packed_stem=a.packed_stem,
+                     **YOLO_SIZES[a.size])
     model = YOLO(cfg)
     rng = np.random.default_rng(0)
     imgs_np = rng.random(

@@ -135,9 +135,18 @@ def quantize_params(variables, a_scales, skip=()):
 
 def _quant_conv_silu(x, q, mod):
     """int8 ConvBNSiLU body: quantize input, int8 conv (int32 MXU
-    accumulate), per-channel dequant + folded bias, SiLU."""
-    xf = x.astype(jnp.float32)
-    xq = jnp.clip(jnp.round(xf / q["a_scale"]), -127, 127).astype(jnp.int8)
+    accumulate), per-channel dequant + folded bias, SiLU.
+
+    The requant elementwise chains run in the module's compute dtype
+    (bf16 on the serving path): the 's' model is HBM-bound, so the
+    quant/dequant passes must not double the activation byte traffic by
+    widening to f32. Quantized integers ≤ 127 are exact in bf16 (8
+    mantissa bits cover ±256), so rounding in bf16 costs at most the
+    same ±0.5-unit noise the quantization itself already has."""
+    dt = jnp.dtype(mod.dtype)
+    xf = x.astype(dt)
+    inv = (1.0 / q["a_scale"]).astype(dt)
+    xq = jnp.clip(jnp.round(xf * inv), -127, 127).astype(jnp.int8)
     pad = mod.kernel // 2
     dn = jax.lax.conv_dimension_numbers(
         xq.shape, q["w_int8"].shape, ("NHWC", "HWIO", "NHWC")
@@ -147,7 +156,8 @@ def _quant_conv_silu(x, q, mod):
         ((pad, pad), (pad, pad)), dimension_numbers=dn,
         preferred_element_type=jnp.int32,
     )
-    yf = y.astype(jnp.float32) * (q["a_scale"] * q["w_scale"]) + q["bias"]
+    scale = (q["a_scale"] * q["w_scale"]).astype(dt)
+    yf = y.astype(dt) * scale + q["bias"].astype(dt)
     return nn.silu(yf).astype(mod.dtype)
 
 
