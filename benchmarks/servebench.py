@@ -38,6 +38,9 @@ def main():
     ap.add_argument("--int8", action="store_true",
                     help="additionally time the int8 PTQ path")
     ap.add_argument("--size", default="s", choices=["n", "s", "m", "l", "x"])
+    ap.add_argument("--mxu-only", action="store_true",
+                    help="with --int8: quantize only the MXU-bound 3x3 "
+                         "convs (HBM-bound 1x1s stay bf16)")
     ap.add_argument("--topk", type=int, default=None,
                     help="NMS candidate capacity (default: "
                          "default_topk's 4096 @640; 1024 measured +28%% "
@@ -134,9 +137,17 @@ def main():
     if a.int8:
         # int8 PTQ path (infer/quantize.py): same program with every
         # ConvBNSiLU swapped for a BN-folded int8 MXU conv
-        from yolo_from_scratch_tpu.infer.quantize import quantize_model
+        from yolo_from_scratch_tpu.infer.quantize import (
+            mxu_bound_select,
+            quantize_model,
+        )
 
-        bundle, qapply = quantize_model(model, variables, [imgs_np])
+        select = mxu_bound_select if a.mxu_only else None
+        bundle, qapply = quantize_model(model, variables, [imgs_np],
+                                        select=select)
+        nq = len(bundle[1])
+        log(f"int8: {nq} convs quantized"
+            + (" (mxu-bound only)" if a.mxu_only else ""))
 
         def qfwd(x):
             return _dep(x, qapply(bundle, x))

@@ -256,3 +256,19 @@ def test_percentile_calibration_smaller_scales(cfg, model_and_vars):
         prob_f = jax.nn.sigmoid(pf[..., 4:])
         prob_q = jax.nn.sigmoid(pq[..., 4:])
         assert float(jnp.max(jnp.abs(prob_f - prob_q))) < 5e-3
+
+
+def test_mxu_bound_select(cfg, model_and_vars):
+    """The MXU-bound predicate keeps only 3x3 convs with >=64 input
+    channels int8; everything else falls through to float."""
+    model, variables = model_and_vars
+    imgs = np.random.default_rng(0).random(
+        (1, cfg.img_size, cfg.img_size, 3), np.float32
+    )
+    scales = Q.calibrate(model, variables, [imgs])
+    qtree = Q.quantize_params(variables, scales,
+                              select=Q.mxu_bound_select)
+    assert 0 < len(qtree) < len(scales)
+    for key, q in qtree.items():
+        kh, kw, cin, cout = q["w_int8"].shape
+        assert kh >= 3 and cin >= 64, (key, q["w_int8"].shape)

@@ -426,6 +426,13 @@ def main(argv=None):
                                      num_classes=cfg.num_classes)
                     print(f"  mAP@0.5: {m['map50'] * 100:.2f}%")
                     print(f"  mAP@[.5:.95]: {m['map'] * 100:.2f}%")
+                    if cfg.num_classes > 1 and m.get("per_class_ap50"):
+                        names = config.get("names") or []
+                        print("  Per-class AP@0.5:")
+                        for c, ap in sorted(m["per_class_ap50"].items()):
+                            label = (names[c] if c < len(names)
+                                     else f"class {c}")
+                            print(f"    {label}: {ap * 100:.2f}%")
         else:
             # ----- Train mode -----
             start_epoch = 0

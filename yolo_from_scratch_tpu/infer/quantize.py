@@ -94,12 +94,24 @@ def _tree_get(tree, path_key):
     return node
 
 
-def quantize_params(variables, a_scales, skip=()):
+def mxu_bound_select(key, kernel_shape):
+    """Quantization predicate: only the 3x3 convs with >=64 input
+    channels — the MXU-bound layers where the int8 rate doubles
+    throughput. The HBM-bound 1x1s and narrow early convs gain nothing
+    from int8 compute but still pay the requant elementwise traffic, so
+    leaving them bf16 is strictly faster (measured in BASELINE.md)."""
+    kh, kw, cin, cout = kernel_shape
+    return kh >= 3 and cin >= 64
+
+
+def quantize_params(variables, a_scales, skip=(), select=None):
     """Fold BN and quantize weights for every calibrated ConvBNSiLU.
 
     Returns the quantized pytree {path: {w_int8 (H,W,I,O) int8,
     w_scale (O,) f32, bias (O,) f32, a_scale () f32}}. Paths listed in
-    `skip` stay float (they fall through to the normal module call)."""
+    `skip` — or rejected by `select(key, kernel_shape)` (e.g.
+    `mxu_bound_select`) — stay float (they fall through to the normal
+    module call at zero added cost)."""
     params = variables["params"]
     stats = variables["batch_stats"]
     qtree = {}
@@ -108,6 +120,8 @@ def quantize_params(variables, a_scales, skip=()):
             continue
         p = _tree_get(params, key)
         kernel = np.asarray(p["conv"]["kernel"], np.float32)
+        if select is not None and not select(key, kernel.shape):
+            continue
         b0 = np.asarray(p["conv"].get("bias", np.zeros(kernel.shape[-1])),
                         np.float32)
         gamma = np.asarray(p["bn"]["scale"], np.float32)
@@ -184,12 +198,12 @@ def make_quant_apply(model):
 
 
 def quantize_model(model, variables, calib_batches, skip=(),
-                   percentile=None):
+                   percentile=None, select=None):
     """One-call PTQ: calibrate + quantize. Returns (bundle, apply_fn)
     where bundle = (variables, qtree) is the serving state pytree."""
     a_scales = calibrate(model, variables, calib_batches,
                          percentile=percentile)
-    qtree = quantize_params(variables, a_scales, skip=skip)
+    qtree = quantize_params(variables, a_scales, skip=skip, select=select)
     return (variables, qtree), make_quant_apply(model)
 
 
