@@ -27,13 +27,12 @@ import jax.numpy as jnp  # noqa: E402
 
 from yolo_from_scratch_tpu.config import YoloConfig  # noqa: E402
 from yolo_from_scratch_tpu.data.dataset import YoloDataset  # noqa: E402
-from yolo_from_scratch_tpu.data.loader import DataLoader  # noqa: E402
 from yolo_from_scratch_tpu.infer.predict import BatchPredictor  # noqa: E402
 from yolo_from_scratch_tpu.train.map_eval import evaluate_map  # noqa: E402
 from yolo_from_scratch_tpu.train.schedule import lr_at_epoch  # noqa: E402
 from yolo_from_scratch_tpu.train.steps import (  # noqa: E402
     create_train_state,
-    make_train_step_multi,
+    make_train_step_multi_compact,
     set_learning_rate,
 )
 from yolo_from_scratch_tpu.utils.synth import make_dataset  # noqa: E402
@@ -94,23 +93,39 @@ def run(spec, lr=5e-3, batch=8, stage="all", augment=False):
     )
     ds = YoloDataset(f"{root}/train/images", cfg.num_classes,
                      cfg.anchors_array, cfg.img_size)
-    loader = DataLoader(ds, batch_size=batch, shuffle=False, prefetch=0,
-                        pack_images=cfg.packed_stem)
-    batches = [b for b in loader if b[0].shape[0] == batch]
-    imgs = jnp.asarray(np.stack([b[0] for b in batches]))
-    t3, t4, t5 = (
-        jnp.asarray(np.stack([b[1][s] for b in batches])) for s in range(3)
-    )
-    n_scan = imgs.shape[0]
+    # Compact staging (data/assign_device.py): uint8 images + padded raw
+    # labels on device; the dense (gs,gs,A,5+nc) maps are rebuilt inside
+    # the scanned step. Dense staging at nc=80 @640 is ~8.7 MB/img of
+    # targets + 4.9 MB/img of f32 packed pixels (~7 GB at 512 images);
+    # compact is ~1.2 MB/img total, so 1024+ images fit in HBM.
+    from yolo_from_scratch_tpu.models.packed import pack_s2d_host
+
+    n_scan = len(ds) // batch
+    capacity = max(16, 2 * spec["n_max"])
+    imgs_np, labels_np, counts_np = [], [], []
+    for s in range(n_scan):
+        im, lab, cnt = ds.load_batch_compact(
+            range(s * batch, (s + 1) * batch), capacity=capacity
+        )
+        if cfg.packed_stem:
+            im = pack_s2d_host(im)
+        imgs_np.append(im)
+        labels_np.append(lab)
+        counts_np.append(cnt)
+    imgs = jnp.asarray(np.stack(imgs_np))
+    labels = jnp.asarray(np.stack(labels_np))
+    counts = jnp.asarray(np.stack(counts_np))
     print(f"{spec['name']}: staged {n_scan}x{batch} images "
-          f"@{cfg.img_size}", flush=True)
+          f"@{cfg.img_size} (uint8 + compact labels, K={capacity})",
+          flush=True)
 
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
         model, tx, state = create_train_state(jax.random.PRNGKey(0), cfg, lr,
                                               batch_size=1)
     state = jax.device_put(state, jax.devices()[0])
-    steps = make_train_step_multi(model, tx, cfg, device_augment=augment)
+    steps = make_train_step_multi_compact(model, tx, cfg,
+                                          device_augment=augment)
 
     t_compile = time.time()
     times = []
@@ -119,7 +134,7 @@ def run(spec, lr=5e-3, batch=8, stage="all", augment=False):
             state, lr_at_epoch(epoch, 3, spec["epochs"], lr, lr / 100)
         )
         t0 = time.perf_counter()
-        state, m = steps(state, imgs, t3, t4, t5)
+        state, m = steps(state, imgs, labels, counts)
         loss = float(m["loss"])  # hard sync each epoch
         times.append(time.perf_counter() - t0)
         if epoch % 20 == 0 or epoch == spec["epochs"] - 1:
@@ -168,8 +183,12 @@ def _eval(spec, cfg, variables, root, train_ips):
 if __name__ == "__main__":
     stage = "all"
     augment = False
+    overrides = {}
     keys = []
-    for a in sys.argv[1:]:
+    args = sys.argv[1:]
+    i = 0
+    while i < len(args):
+        a = args[i]
         if a in ("--train-only", "--eval-only"):
             stage = a[2:].split("-")[0]
         elif a == "--augment":
@@ -178,8 +197,14 @@ if __name__ == "__main__":
             # hflip only: photometric jitter is label noise on the
             # color-coded class regimes (config 3: 50.9 -> 28.4 mAP50)
             augment = "flip"
+        elif a in ("--n-train", "--n-val", "--epochs"):
+            overrides[a[2:].replace("-", "_")] = int(args[i + 1])
+            i += 1
         else:
             keys.append(a)
+        i += 1
     for key in keys or ["2", "3", "4"]:
-        spec = dict(CONFIGS[key], augment=augment)
+        spec = dict(CONFIGS[key], augment=augment, **overrides)
+        if overrides:  # a different regime must not reuse the cached set
+            spec["name"] += "_n{}".format(spec["n_train"])
         run(spec, stage=stage, augment=augment)

@@ -104,6 +104,15 @@ def build_parser():
                         help="Train with the space-to-depth packed stem "
                              "(numerically equivalent, ~25%% faster on "
                              "TPU; checkpoints stay interchangeable)")
+    parser.add_argument("--compact-targets", nargs="?", const=64, type=int,
+                        default=0, metavar="K",
+                        help="Stream COMPACT labels (up to K boxes/image, "
+                             "default 64) and rebuild the dense target "
+                             "maps on the TPU inside the jitted step "
+                             "(data/assign_device.py) — ~1 KB/image over "
+                             "the host link instead of ~8.7 MB at nc=80 "
+                             "@640. Anchor head only; host --augment "
+                             "(mosaic) unsupported, use --device-augment")
     parser.add_argument("--reference-quirks", action="store_true",
                         help="Replicate the reference's 640-denominator decode "
                              "in loss/eval at non-640 resolutions")
@@ -483,6 +492,17 @@ def main(argv=None):
                 )
 
             anchors = cfg.anchors_array
+            if args.compact_targets:
+                if cfg.head_type != "anchor":
+                    print("ERROR: --compact-targets supports the anchor "
+                          "head only (the anchor-free head assigns from "
+                          "live predictions inside its loss)")
+                    sys.exit(1)
+                if args.augment:
+                    print("ERROR: --compact-targets streams raw labels — "
+                          "host-side --augment (mosaic) is unsupported; "
+                          "use --device-augment instead")
+                    sys.exit(1)
             # multi-host: each process loads its strided slice of every
             # epoch permutation (identical shuffle seed across hosts keeps
             # the slices disjoint); batch_size is per-process
@@ -495,6 +515,7 @@ def main(argv=None):
                             augment=args.augment, seed=args.seed),
                 batch_size=args.batch_size, shuffle=True, seed=args.seed,
                 pack_images=cfg.packed_stem, process_shard=shard,
+                compact=args.compact_targets,
             )
             val_loader = DataLoader(
                 YoloDataset(config["val"], cfg.num_classes, anchors,
@@ -520,6 +541,7 @@ def main(argv=None):
             train_step = make_train_step(
                 model, tx, cfg, quirk_640=args.reference_quirks,
                 device_augment=args.device_augment, augment_seed=args.seed,
+                compact_targets=bool(args.compact_targets),
             )
             eval_step = make_eval_step(model, cfg, quirk_640=args.reference_quirks)
 
@@ -539,7 +561,9 @@ def main(argv=None):
                                   YOLO(cfg_s), tx, cfg_s,
                                   quirk_640=args.reference_quirks,
                                   device_augment=args.device_augment,
-                                  augment_seed=args.seed))
+                                  augment_seed=args.seed,
+                                  compact_targets=bool(
+                                      args.compact_targets)))
                     loader_s = (train_loader if s == cfg.img_size
                                 else DataLoader(
                                     YoloDataset(
@@ -550,7 +574,8 @@ def main(argv=None):
                                     batch_size=args.batch_size, shuffle=True,
                                     seed=args.seed,
                                     pack_images=cfg.packed_stem,
-                                    process_shard=shard))
+                                    process_shard=shard,
+                                    compact=args.compact_targets))
                     multi_scale.append((step_s, loader_s))
 
             state, save_path = fit(

@@ -295,6 +295,69 @@ class YoloDataset:
         )
         return boxes, rows[:, 0].astype(np.int64)
 
+    def load_batch_compact(self, indices, capacity=64, image_dtype="uint8",
+                           n_threads=4):
+        """Compact fast path for the on-device assignment trainer
+        (data/assign_device.py): images + padded raw labels, NO dense
+        target maps — the dense maps are rebuilt on the TPU inside the
+        jitted step.
+
+        Returns (images (B, S, S, 3) uint8 or float32,
+                 labels (B, K, 5) f32 [class, cx, cy, w, h],
+                 counts (B,) int32).
+
+        uint8 images are bit-exact /255 reconstructions when letterboxing
+        is the identity (sources already at img_size, e.g. the synthetic
+        benchmark regimes); resampled sources quantize to 8 bits (max
+        error 1/510 per channel — below the photometric-jitter floor).
+        Augmented loading (mosaic) is not supported here by design: the
+        compact path pairs with DEVICE-side augmentation.
+        """
+        from yolo_from_scratch_tpu.data.assign_device import pack_labels
+
+        indices = [int(i) for i in indices]
+        boxes_list, class_list = [], []
+        if self.backend == "native":
+            from yolo_from_scratch_tpu import native
+
+            paths = [self.imgs[i] for i in indices]
+            images, scales, pad_tops, pad_lefts, _ = (
+                native.decode_letterbox_batch(paths, self.img_size,
+                                              n_threads=n_threads)
+            )
+            for k, i in enumerate(indices):
+                boxes, class_ids = self._boxes_for(
+                    i, float(scales[k]), int(pad_tops[k]), int(pad_lefts[k])
+                )
+                boxes_list.append(boxes)
+                class_list.append(class_ids)
+            if image_dtype == "uint8":
+                images = np.clip(np.round(images * 255.0), 0, 255).astype(
+                    np.uint8
+                )
+        else:
+            from PIL import Image
+
+            imgs_u8 = []
+            for i in indices:
+                pil = Image.open(self.imgs[i]).convert("RGB")
+                orig_w, orig_h = pil.size
+                img_u8, scale, pad_top, pad_left = letterbox_image(
+                    pil, self.img_size
+                )
+                imgs_u8.append(img_u8)
+                rows = parse_label_file(self.labels[i])
+                boxes_list.append(adjust_boxes_for_letterbox(
+                    rows[:, 1:5], orig_w, orig_h, scale, pad_top, pad_left,
+                    self.img_size,
+                ))
+                class_list.append(rows[:, 0].astype(np.int64))
+            images = np.stack(imgs_u8)
+            if image_dtype != "uint8":
+                images = images.astype(np.float32) / 255.0
+        labels, counts = pack_labels(boxes_list, class_list, capacity)
+        return images, labels, counts
+
     def load_batch(self, indices, n_threads=4):
         """Batch fast path: native threaded decode+letterbox when enabled,
         else per-item PIL. Augmented loading (mosaic needs sibling samples)

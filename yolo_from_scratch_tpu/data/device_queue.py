@@ -19,9 +19,9 @@ import numpy as np
 
 from yolo_from_scratch_tpu.parallel.mesh import (
     DATA_AXIS,
+    batch_sharding_for,
     image_sharding,
     pad_batch_to_multiple,
-    target_sharding,
 )
 
 
@@ -65,9 +65,9 @@ class DeviceQueue:
                 for t in targets
             ]
             im_sh = image_sharding(self.mesh)
-            t_sh = target_sharding(self.mesh)
             return (jax.device_put(images, im_sh),
-                    [jax.device_put(t, t_sh) for t in targets], valid)
+                    [jax.device_put(t, batch_sharding_for(self.mesh, t))
+                     for t in targets], valid)
         # local_devices, not devices: after jax.distributed.initialize the
         # global list starts with process 0's chips, which other processes
         # cannot device_put to

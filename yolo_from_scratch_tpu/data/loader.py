@@ -44,11 +44,18 @@ class DataLoader:
     """
 
     def __init__(self, dataset, batch_size=8, shuffle=False, seed=0,
-                 prefetch=2, pack_images=False, process_shard=None):
+                 prefetch=2, pack_images=False, process_shard=None,
+                 compact=0):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.prefetch = prefetch
+        # compact > 0: yield (uint8 images, (labels (B, K, 5), counts))
+        # with K=compact instead of dense target maps — the on-device
+        # assignment path (data/assign_device.py). At nc=80 @640 this
+        # cuts host->device traffic ~11x and skips the ~8.7 MB/img dense
+        # assembly on the host entirely.
+        self.compact = compact
         # space-to-depth-pack image batches on the host for the packed-stem
         # model (models/packed.py) — done on the prefetch thread, so it
         # overlaps device compute like the rest of batch preparation
@@ -87,6 +94,15 @@ class DataLoader:
             yield idx[i : i + self.batch_size]
 
     def _make_batch(self, indices):
+        if self.compact:
+            images, labels, counts = self.dataset.load_batch_compact(
+                indices, capacity=self.compact
+            )
+            if self.pack_images:
+                from yolo_from_scratch_tpu.models.packed import pack_s2d_host
+
+                images = pack_s2d_host(images)
+            return images, (labels, counts)
         # dataset-provided batch fast path (native C++ loader) when present
         load_batch = getattr(self.dataset, "load_batch", None)
         if load_batch is not None:

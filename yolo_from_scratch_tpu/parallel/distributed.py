@@ -32,8 +32,8 @@ import jax
 import numpy as np
 
 from yolo_from_scratch_tpu.parallel.mesh import (
+    batch_sharding_for,
     image_sharding,
-    target_sharding,
 )
 
 
@@ -82,13 +82,13 @@ def make_global_batch(mesh, local_images: np.ndarray, local_targets):
     equivalent to it on the virtual mesh)."""
     pc = jax.process_count()
     im_sh = image_sharding(mesh)
-    t_sh = target_sharding(mesh)
     g_imgs = (local_images.shape[0] * pc,) + local_images.shape[1:]
     images = jax.make_array_from_process_local_data(
         im_sh, np.asarray(local_images), g_imgs)
     targets = [
         jax.make_array_from_process_local_data(
-            t_sh, np.asarray(t), (t.shape[0] * pc,) + t.shape[1:])
+            batch_sharding_for(mesh, t), np.asarray(t),
+            (t.shape[0] * pc,) + t.shape[1:])
         for t in local_targets
     ]
     return images, targets

@@ -79,6 +79,17 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def batch_sharding_for(mesh: Mesh, arr) -> NamedSharding:
+    """Rank-aware sharding for a batch-leading array: dense spatial maps
+    (ndim >= 4 — images (B,H,W,C), targets (B,gs,gs,A,D)) follow
+    `target_sharding` (rows on `space` for a 2-D mesh); low-rank arrays
+    (compact labels (B,K,5), counts (B,)) shard the batch dim only — a
+    `space` entry there would split a non-spatial axis."""
+    if getattr(arr, "ndim", len(getattr(arr, "shape", ()))) >= 4:
+        return target_sharding(mesh)
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
 def pad_batch_to_multiple(arr: np.ndarray, multiple: int):
     """Pad the batch dim to a multiple of the mesh size so the batch
     divides evenly across chips, by REPEATING real rows (wrap-around).

@@ -122,16 +122,24 @@ def _make_augment(cfg: YoloConfig, device_augment, seed: int = 0):
 
 def make_train_step(model: YOLO, tx, cfg: YoloConfig, quirk_640: bool = False,
                     donate: bool = True, device_augment: bool = False,
-                    augment_seed: int = 0):
+                    augment_seed: int = 0, compact_targets: bool = False):
     """Build the jitted train step: (state, images, targets3) -> (state, metrics).
 
     `device_augment`: apply random hflip + photometric jitter on-device
-    inside the step (keyed by state.step — deterministic, varies per step)."""
+    inside the step (keyed by state.step — deterministic, varies per step).
+
+    `compact_targets`: `targets` is a (labels (B, K, 5), counts (B,))
+    tuple and the dense maps are rebuilt on-device
+    (data/assign_device.py); pairs with `DataLoader(compact=K)` so the
+    streaming path ships ~1 KB of labels per image instead of dense maps
+    (~8.7 MB/img at nc=80 @640). uint8 images are normalized in-step."""
 
     loss_fn = _make_loss_fn(model, cfg, quirk_640)
     aug = _make_augment(cfg, device_augment, augment_seed)
+    expand = _make_expand(cfg, compact_targets)
 
     def train_step(state: TrainState, images, targets):
+        images, targets = expand(images, targets)
         if aug is not None:
             images, targets = aug(state.step, images, targets)
         (total, (new_bs, bbox, obj, cls)), grads = jax.value_and_grad(
@@ -192,6 +200,83 @@ def make_train_step_multi(model: YOLO, tx, cfg: YoloConfig, quirk_640=False,
             return one_step(state, imgs, [a, b, c])
 
         state, metrics = jax.lax.scan(body, state, (images, t3, t4, t5))
+        return state, jax.tree.map(jnp.mean, metrics)
+
+    donate_argnums = (0,) if donate else ()
+    return jax.jit(train_steps, donate_argnums=donate_argnums)
+
+
+def _make_expand(cfg: YoloConfig, compact_targets: bool):
+    """Input adapter for the train steps: normalize uint8 images in-step
+    and (when `compact_targets`) rebuild dense target maps on-device from
+    a (labels, counts) tuple."""
+    if compact_targets and cfg.head_type != "anchor":
+        raise ValueError("compact targets support the anchor head only")
+    anchors = cfg.anchors_array
+
+    def expand(images, targets):
+        if images.dtype == jnp.uint8:
+            images = images.astype(jnp.float32) / 255.0
+        if compact_targets:
+            from yolo_from_scratch_tpu.data.assign_device import (
+                assign_targets_device_batch,
+            )
+
+            labels, counts = targets
+            targets = assign_targets_device_batch(
+                labels, counts, anchors, cfg.img_size, cfg.num_classes
+            )
+        return images, targets
+
+    return expand
+
+
+def make_train_step_multi_compact(model: YOLO, tx, cfg: YoloConfig,
+                                  quirk_640=False, donate=True,
+                                  device_augment: bool = False,
+                                  augment_seed: int = 0):
+    """Scanned multi-step trainer fed by COMPACT labels: the dense target
+    maps are rebuilt on-device inside the scan body
+    (data/assign_device.py) instead of being staged in HBM.
+
+    (state, images (N, B, S, S, C) float32 OR uint8,
+     labels (N, B, K, 5), counts (N, B) int32) -> (state, metrics)
+
+    Why: at nc=80 @640 a dense target set is ~8.7 MB/image while the
+    compact labels are ~1 KB/image — staging an epoch set on-device goes
+    from targets-dominated to images-dominated, and uint8 image staging
+    (normalized in-body; bit-identical to the host's /255) cuts that by
+    another 4x. Together they raise the pre-stageable dataset from ~512
+    to ~2000+ images @640 nc=80 on a 16 GB chip. The per-step assignment
+    is (B*K, 9) elementwise work + three scatters — noise next to the
+    conv step.
+
+    Anchor head only (the anchor-free head assigns from live predictions
+    already, inside its loss).
+    """
+    loss_fn = _make_loss_fn(model, cfg, quirk_640)
+    aug = _make_augment(cfg, device_augment, augment_seed)
+    expand = _make_expand(cfg, compact_targets=True)
+
+    def one_step(state, images, labels, counts):
+        images, targets = expand(images, (labels, counts))
+        if aug is not None:
+            images, targets = aug(state.step, images, targets)
+        (total, (new_bs, bbox, obj, cls)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, state.batch_stats, images, targets)
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(new_params, new_bs, new_opt_state, state.step + 1),
+            {"loss": total, "bbox": bbox, "obj": obj, "cls": cls},
+        )
+
+    def train_steps(state, images, labels, counts):
+        def body(state, batch):
+            return one_step(state, *batch)
+
+        state, metrics = jax.lax.scan(body, state, (images, labels, counts))
         return state, jax.tree.map(jnp.mean, metrics)
 
     donate_argnums = (0,) if donate else ()
