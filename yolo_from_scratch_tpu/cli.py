@@ -80,6 +80,13 @@ def build_parser():
                              "ways across chips (2-D data x space mesh; "
                              "spatial partitioning for high resolutions "
                              "where per-chip activations exceed HBM)")
+    parser.add_argument("--model-parallel", type=int, default=1, metavar="N",
+                        help="With --data-parallel: channel-shard the "
+                             "large conv kernels + BN params + Adam "
+                             "moments N ways (2-D data x model mesh, "
+                             "tensor parallelism; for l/x variants where "
+                             "params+moments press per-chip HBM). "
+                             "Mutually exclusive with --spatial")
     parser.add_argument("--distributed", action="store_true",
                         help="Multi-host training: connect this process "
                              "via jax.distributed before building the "
@@ -359,7 +366,18 @@ def main(argv=None):
     elif yaml_file and config is not None:
         mesh = None
         if args.data_parallel:
-            if args.spatial > 1:
+            if args.spatial > 1 and args.model_parallel > 1:
+                print("ERROR: --spatial and --model-parallel are mutually "
+                      "exclusive (pick one secondary mesh axis)")
+                sys.exit(1)
+            if args.model_parallel > 1:
+                from yolo_from_scratch_tpu.parallel.tensor import make_mesh_dm
+
+                mesh = make_mesh_dm(args.model_parallel)
+                print(f"2-D mesh: data={mesh.shape['data']} x "
+                      f"model={args.model_parallel} over {mesh.size} "
+                      f"device(s)")
+            elif args.spatial > 1:
                 from yolo_from_scratch_tpu.parallel.mesh import make_mesh_2d
 
                 mesh = make_mesh_2d(args.spatial)
@@ -577,6 +595,20 @@ def main(argv=None):
                                     process_shard=shard,
                                     compact=args.compact_targets))
                     multi_scale.append((step_s, loader_s))
+
+            if mesh is not None and "model" in mesh.axis_names:
+                # tensor parallelism: place channel-sharded params +
+                # moments BEFORE the first step so GSPMD partitions the
+                # convs (an unannotated state would silently replicate)
+                from yolo_from_scratch_tpu.parallel.tensor import (
+                    shard_state_tp,
+                    sharded_fraction,
+                )
+
+                state = shard_state_tp(mesh, state)
+                print(f"Model-parallel: {sharded_fraction(state.params):.0%}"
+                      f" of params channel-sharded "
+                      f"{mesh.shape['model']}-way")
 
             state, save_path = fit(
                 state, train_step, eval_step, train_loader,

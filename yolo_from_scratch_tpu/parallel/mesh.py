@@ -20,8 +20,9 @@ Two first-class strategies:
   the batch runs out — e.g. 1280² small-object training (SURVEY.md §5.7),
   where P3 activations alone are 160·1280·1280/64 elements per image.
 
-A `model` axis (tensor parallelism) could be added the same way, though
-at <100M params neither TP nor PP pays for itself (SURVEY.md §2.3).
+A third strategy — tensor parallelism over a `model` axis (channel-
+sharded conv kernels / BN params / Adam moments, for l/x variants where
+per-chip HBM presses) — lives in `parallel/tensor.py`.
 """
 
 from __future__ import annotations
