@@ -200,6 +200,15 @@ if __name__ == "__main__":
         elif a in ("--n-train", "--n-val", "--epochs"):
             overrides[a[2:].replace("-", "_")] = int(args[i + 1])
             i += 1
+        elif a.startswith("-"):
+            # fail fast: an unrecognized flag must not be silently taken
+            # for a config key (it would crash only AFTER training)
+            raise SystemExit(f"unknown flag {a!r} (have: --train-only "
+                             f"--eval-only --augment --augment-flip "
+                             f"--n-train N --n-val N --epochs N)")
+        elif a not in CONFIGS:
+            raise SystemExit(f"unknown config {a!r} "
+                             f"(have: {sorted(CONFIGS)})")
         else:
             keys.append(a)
         i += 1
