@@ -233,6 +233,49 @@ def test_streaming_compact_path_on_2d_mesh(tmp_path):
                                rtol=1e-5)
 
 
+def test_compact_eval_step_matches_dense():
+    """make_eval_step(compact_targets=True) on uint8 images + compact
+    labels reproduces the dense eval step's loss and exact TP/FP/FN
+    counts (the inputs are bit-identical after on-device expansion)."""
+    from yolo_from_scratch_tpu.train.steps import (
+        create_train_state,
+        make_eval_step,
+    )
+
+    cfg = YoloConfig(num_classes=2, img_size=128, width_mult=0.25,
+                     depth_mult=0.33)
+    rng = np.random.default_rng(4)
+    batch = 2
+    imgs_u8 = rng.integers(0, 256, (batch, 128, 128, 3)).astype(np.uint8)
+    boxes_list, cls_list, dense = [], [], []
+    for _ in range(batch):
+        b, c = _random_labels(rng, 3, 2)
+        boxes_list.append(b)
+        cls_list.append(c)
+        dense.append(_host(b, c, cfg))
+    labels, counts = pack_labels(boxes_list, cls_list, 8)
+    targets = [np.stack([d[s] for d in dense]) for s in range(3)]
+
+    model, _, state = create_train_state(jax.random.PRNGKey(0), cfg, 1e-3,
+                                         batch_size=1)
+    dense_step = make_eval_step(model, cfg)
+    compact_step = make_eval_step(model, cfg, compact_targets=True)
+
+    l1, tp1, fp1, fn1 = jax.device_get(dense_step(
+        state.params, state.batch_stats,
+        jnp.asarray(imgs_u8.astype(np.float32) / 255.0),
+        [jnp.asarray(t) for t in targets],
+    ))
+    l2, tp2, fp2, fn2 = jax.device_get(compact_step(
+        state.params, state.batch_stats, jnp.asarray(imgs_u8),
+        (jnp.asarray(labels), jnp.asarray(counts)),
+    ))
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+    np.testing.assert_array_equal(tp1, tp2)
+    np.testing.assert_array_equal(fp1, fp2)
+    np.testing.assert_array_equal(fn1, fn2)
+
+
 def test_dataset_load_batch_compact(tmp_path):
     """YoloDataset.load_batch_compact labels reproduce the dense targets
     of load_batch through the device assignment."""

@@ -401,13 +401,19 @@ def main(argv=None):
             print(f"Depth multiplier: {cfg.depth_mult}")
 
             model = YOLO(cfg)
-            eval_step = make_eval_step(model, cfg, quirk_640=args.reference_quirks)
+            compact = (args.compact_targets
+                       if cfg.head_type == "anchor" else 0)
+            if args.compact_targets and not compact:
+                print("NOTE: --compact-targets ignored (anchor head only)")
+            eval_step = make_eval_step(model, cfg,
+                                       quirk_640=args.reference_quirks,
+                                       compact_targets=bool(compact))
             anchors = cfg.anchors_array
             mk_loader = lambda split: DataLoader(
                 YoloDataset(config[split], cfg.num_classes, anchors,
                             cfg.img_size, head_type=cfg.head_type),
                 batch_size=args.batch_size,
-                pack_images=cfg.packed_stem,
+                pack_images=cfg.packed_stem, compact=compact,
             )
             for title, split in (("Training", "train"), ("Validation", "val")):
                 loader = mk_loader(split)
@@ -540,6 +546,7 @@ def main(argv=None):
                             cfg.img_size, head_type=cfg.head_type),
                 batch_size=args.batch_size,
                 pack_images=cfg.packed_stem, process_shard=shard,
+                compact=args.compact_targets,
             )
             if len(train_loader.dataset) == 0:
                 print(f"ERROR: no images found in {config['train']} "
@@ -561,7 +568,10 @@ def main(argv=None):
                 device_augment=args.device_augment, augment_seed=args.seed,
                 compact_targets=bool(args.compact_targets),
             )
-            eval_step = make_eval_step(model, cfg, quirk_640=args.reference_quirks)
+            eval_step = make_eval_step(
+                model, cfg, quirk_640=args.reference_quirks,
+                compact_targets=bool(args.compact_targets),
+            )
 
             multi_scale = None
             if args.multi_scale:

@@ -342,15 +342,22 @@ def make_train_step_accum(model: YOLO, tx, cfg: YoloConfig, n_accum: int,
 
 
 def make_eval_step(model: YOLO, cfg: YoloConfig, conf_threshold=0.5,
-                   iou_threshold=0.5, quirk_640: bool = False):
+                   iou_threshold=0.5, quirk_640: bool = False,
+                   compact_targets: bool = False):
     """Build the jitted eval step: loss + grid-aligned TP/FP/FN counts.
 
     Replaces the reference's quadruple Python loop (train.py:1002-1024)
     with dense on-device counting; on a mesh the counts reduce with the
     same psum XLA inserts for the loss mean.
+
+    `compact_targets`: `targets` is a (labels (B, K, 5), counts (B,))
+    tuple expanded on-device (data/assign_device.py) and uint8 images
+    are normalized in-step — pairs with `DataLoader(compact=K)` so val
+    batches also ship ~1 KB/image instead of dense maps.
     """
 
     anchors = cfg.anchors_array
+    expand = _make_expand(cfg, compact_targets)
 
     if cfg.head_type == "anchor_free":
         from yolo_from_scratch_tpu.config import STRIDES
@@ -384,6 +391,7 @@ def make_eval_step(model: YOLO, cfg: YoloConfig, conf_threshold=0.5,
 
     @jax.jit
     def eval_step(params, batch_stats, images, targets):
+        images, targets = expand(images, targets)
         preds = model.apply(
             {"params": params, "batch_stats": batch_stats}, images, train=False
         )
