@@ -120,6 +120,14 @@ def build_parser():
                              "the host link instead of ~8.7 MB at nc=80 "
                              "@640. Anchor head only; host --augment "
                              "(mosaic) unsupported, use --device-augment")
+    parser.add_argument("--device-mosaic", action="store_true",
+                        help="With --compact-targets: 4-image mosaic "
+                             "composed ON the TPU inside the jitted step "
+                             "(fixed-center 2x2, partners from the "
+                             "batch, p=0.5; ops/mosaic_device.py) — "
+                             "restores mosaic for the compact path, "
+                             "whose raw-label stream skips the host "
+                             "mosaic by design")
     parser.add_argument("--reference-quirks", action="store_true",
                         help="Replicate the reference's 640-denominator decode "
                              "in loss/eval at non-640 resolutions")
@@ -525,8 +533,12 @@ def main(argv=None):
                 if args.augment:
                     print("ERROR: --compact-targets streams raw labels — "
                           "host-side --augment (mosaic) is unsupported; "
-                          "use --device-augment instead")
+                          "use --device-augment / --device-mosaic instead")
                     sys.exit(1)
+            if args.device_mosaic and not args.compact_targets:
+                print("ERROR: --device-mosaic requires --compact-targets "
+                      "(it transforms raw labels, not dense maps)")
+                sys.exit(1)
             # multi-host: each process loads its strided slice of every
             # epoch permutation (identical shuffle seed across hosts keeps
             # the slices disjoint); batch_size is per-process
@@ -567,6 +579,7 @@ def main(argv=None):
                 model, tx, cfg, quirk_640=args.reference_quirks,
                 device_augment=args.device_augment, augment_seed=args.seed,
                 compact_targets=bool(args.compact_targets),
+                device_mosaic=args.device_mosaic,
             )
             eval_step = make_eval_step(
                 model, cfg, quirk_640=args.reference_quirks,
@@ -591,7 +604,8 @@ def main(argv=None):
                                   device_augment=args.device_augment,
                                   augment_seed=args.seed,
                                   compact_targets=bool(
-                                      args.compact_targets)))
+                                      args.compact_targets),
+                                  device_mosaic=args.device_mosaic))
                     loader_s = (train_loader if s == cfg.img_size
                                 else DataLoader(
                                     YoloDataset(

@@ -92,12 +92,34 @@ def assign_targets_device(labels, count, anchors, img_size: int,
     Returns [t_p3, t_p4, t_p5], t_i (gs_i, gs_i, A, 5+nc) float32 —
     bit-identical to the host `assign_targets` on the same labels.
     """
+    valid = jnp.arange(labels.shape[0]) < count
+    return assign_targets_device_masked(labels, valid, anchors, img_size,
+                                        num_classes)
+
+
+@functools.partial(
+    vmap, in_axes=(0, 0, None, None, None), out_axes=0
+)
+def assign_targets_device_masked_batch(labels, valid, anchors, img_size,
+                                       num_classes):
+    """Batched masked assignment: (B, K, 5) + (B, K) bool -> dense maps
+    with a leading batch axis."""
+    return assign_targets_device_masked(labels, valid, anchors, img_size,
+                                        num_classes)
+
+
+def assign_targets_device_masked(labels, valid, anchors, img_size: int,
+                                 num_classes: int):
+    """Mask-based variant of `assign_targets_device`: validity is an
+    explicit (K,) bool instead of a prefix count. Needed by the device
+    mosaic (ops/mosaic_device.py), whose composed label set interleaves
+    the four sources' padding rows; the first-wins rule still resolves in
+    ROW ORDER among valid rows (for a prefix mask this is exactly the
+    host's file order)."""
     k = labels.shape[0]
     na = NUM_ANCHORS_PER_SCALE
     grid_sizes = [img_size // s for s in STRIDES]
     out_dim = 5 + num_classes
-
-    valid = jnp.arange(k) < count
     boxes = labels[:, 1:5]
     cls_ids = labels[:, 0].astype(jnp.int32)
 

@@ -64,6 +64,18 @@ def pack_s2d(x: jnp.ndarray, f: int = PACK_FACTOR) -> jnp.ndarray:
     return x.reshape(*lead, h // f, w // f, f * f * c)
 
 
+def unpack_s2d(x: jnp.ndarray, f: int = PACK_FACTOR) -> jnp.ndarray:
+    """Inverse of pack_s2d: (..., H/f, W/f, f*f*C) -> (..., H, W, C).
+    Used by device-side geometric augmentation (ops/mosaic_device.py)
+    that is simpler to express in pixel domain; pure reshapes/transposes
+    that XLA fuses into the surrounding program."""
+    *lead, hp, wp, cc = x.shape
+    c = cc // (f * f)
+    x = x.reshape(*lead, hp, wp, f, f, c)
+    x = jnp.moveaxis(x, -3, -4)  # (..., hp, f, wp, f, c)
+    return x.reshape(*lead, hp * f, wp * f, c)
+
+
 def pack_conv_kernel(w: jnp.ndarray, fi: int) -> jnp.ndarray:
     """Rearrange a (3, 3, cin, cout) stride-2 SAME conv kernel into the
     equivalent (2, 2, fi*fi*cin, fo*fo*cout) stride-1 kernel (fo = fi//2)

@@ -122,7 +122,8 @@ def _make_augment(cfg: YoloConfig, device_augment, seed: int = 0):
 
 def make_train_step(model: YOLO, tx, cfg: YoloConfig, quirk_640: bool = False,
                     donate: bool = True, device_augment: bool = False,
-                    augment_seed: int = 0, compact_targets: bool = False):
+                    augment_seed: int = 0, compact_targets: bool = False,
+                    device_mosaic: bool = False):
     """Build the jitted train step: (state, images, targets3) -> (state, metrics).
 
     `device_augment`: apply random hflip + photometric jitter on-device
@@ -136,10 +137,11 @@ def make_train_step(model: YOLO, tx, cfg: YoloConfig, quirk_640: bool = False,
 
     loss_fn = _make_loss_fn(model, cfg, quirk_640)
     aug = _make_augment(cfg, device_augment, augment_seed)
-    expand = _make_expand(cfg, compact_targets)
+    expand = _make_expand(cfg, compact_targets, mosaic=device_mosaic,
+                          seed=augment_seed)
 
     def train_step(state: TrainState, images, targets):
-        images, targets = expand(images, targets)
+        images, targets = expand(state.step, images, targets)
         if aug is not None:
             images, targets = aug(state.step, images, targets)
         (total, (new_bs, bbox, obj, cls)), grads = jax.value_and_grad(
@@ -206,26 +208,50 @@ def make_train_step_multi(model: YOLO, tx, cfg: YoloConfig, quirk_640=False,
     return jax.jit(train_steps, donate_argnums=donate_argnums)
 
 
-def _make_expand(cfg: YoloConfig, compact_targets: bool):
-    """Input adapter for the train steps: normalize uint8 images in-step
-    and (when `compact_targets`) rebuild dense target maps on-device from
-    a (labels, counts) tuple."""
+def _make_expand(cfg: YoloConfig, compact_targets: bool,
+                 mosaic: bool = False, seed: int = 0):
+    """Input adapter for the train steps: normalize uint8 images in-step,
+    (when `mosaic`) compose a device-side 4-mosaic over the compact
+    labels (ops/mosaic_device.py, keyed by the step index), and (when
+    `compact_targets`) rebuild dense target maps on-device from a
+    (labels, counts) tuple. Returns expand(step, images, targets)."""
     if compact_targets and cfg.head_type != "anchor":
         raise ValueError("compact targets support the anchor head only")
+    if mosaic and not compact_targets:
+        raise ValueError("device mosaic requires compact targets (it "
+                         "transforms raw labels, not dense maps)")
     anchors = cfg.anchors_array
+    # distinct stream from the flip/jitter hook (seed ^ a fixed salt)
+    mosaic_base = jax.random.PRNGKey(seed ^ 0x6D6F7361) if mosaic else None
 
-    def expand(images, targets):
+    def expand(step, images, targets):
         if images.dtype == jnp.uint8:
             images = images.astype(jnp.float32) / 255.0
         if compact_targets:
             from yolo_from_scratch_tpu.data.assign_device import (
                 assign_targets_device_batch,
+                assign_targets_device_masked_batch,
             )
 
             labels, counts = targets
-            targets = assign_targets_device_batch(
-                labels, counts, anchors, cfg.img_size, cfg.num_classes
-            )
+            if mosaic:
+                from yolo_from_scratch_tpu.ops.mosaic_device import (
+                    mosaic_compact_batch,
+                )
+
+                key = jax.random.fold_in(mosaic_base, step)
+                images, labels, valid = mosaic_compact_batch(
+                    key, images, labels, counts,
+                    min_box=2.0 / cfg.img_size,
+                    packed=bool(getattr(cfg, "packed_stem", False)),
+                )
+                targets = assign_targets_device_masked_batch(
+                    labels, valid, anchors, cfg.img_size, cfg.num_classes
+                )
+            else:
+                targets = assign_targets_device_batch(
+                    labels, counts, anchors, cfg.img_size, cfg.num_classes
+                )
         return images, targets
 
     return expand
@@ -234,7 +260,8 @@ def _make_expand(cfg: YoloConfig, compact_targets: bool):
 def make_train_step_multi_compact(model: YOLO, tx, cfg: YoloConfig,
                                   quirk_640=False, donate=True,
                                   device_augment: bool = False,
-                                  augment_seed: int = 0):
+                                  augment_seed: int = 0,
+                                  device_mosaic: bool = False):
     """Scanned multi-step trainer fed by COMPACT labels: the dense target
     maps are rebuilt on-device inside the scan body
     (data/assign_device.py) instead of being staged in HBM.
@@ -256,10 +283,11 @@ def make_train_step_multi_compact(model: YOLO, tx, cfg: YoloConfig,
     """
     loss_fn = _make_loss_fn(model, cfg, quirk_640)
     aug = _make_augment(cfg, device_augment, augment_seed)
-    expand = _make_expand(cfg, compact_targets=True)
+    expand = _make_expand(cfg, compact_targets=True, mosaic=device_mosaic,
+                          seed=augment_seed)
 
     def one_step(state, images, labels, counts):
-        images, targets = expand(images, (labels, counts))
+        images, targets = expand(state.step, images, (labels, counts))
         if aug is not None:
             images, targets = aug(state.step, images, targets)
         (total, (new_bs, bbox, obj, cls)), grads = jax.value_and_grad(
@@ -391,7 +419,7 @@ def make_eval_step(model: YOLO, cfg: YoloConfig, conf_threshold=0.5,
 
     @jax.jit
     def eval_step(params, batch_stats, images, targets):
-        images, targets = expand(images, targets)
+        images, targets = expand(0, images, targets)
         preds = model.apply(
             {"params": params, "batch_stats": batch_stats}, images, train=False
         )
