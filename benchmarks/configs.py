@@ -50,7 +50,7 @@ CONFIGS = {
 }
 
 
-def run(spec, lr=5e-3, batch=8, stage="all", augment=False):
+def run(spec, lr=5e-3, batch=8, stage="all", augment=False, mosaic=False):
     """stage: 'all' | 'train' (train + save ckpt, skip eval) | 'eval'
     (load ckpt, mAP only) — the axon remote compiler makes train + eval
     compiles together overrun a single 10-minute call budget.
@@ -125,7 +125,8 @@ def run(spec, lr=5e-3, batch=8, stage="all", augment=False):
                                               batch_size=1)
     state = jax.device_put(state, jax.devices()[0])
     steps = make_train_step_multi_compact(model, tx, cfg,
-                                          device_augment=augment)
+                                          device_augment=augment,
+                                          device_mosaic=mosaic)
 
     t_compile = time.time()
     times = []
@@ -172,6 +173,7 @@ def _eval(spec, cfg, variables, root, train_ips):
         "epochs": spec["epochs"], "train_images": spec["n_train"],
         "kmeans_anchors": bool(spec["kmeans"]),
         "device_augment": spec.get("augment", False) or False,
+        "device_mosaic": spec.get("mosaic", False),
     }
     print(json.dumps(result), flush=True)
     out = Path(__file__).parent / "configs_results.jsonl"
@@ -183,6 +185,7 @@ def _eval(spec, cfg, variables, root, train_ips):
 if __name__ == "__main__":
     stage = "all"
     augment = False
+    mosaic = False
     overrides = {}
     keys = []
     args = sys.argv[1:]
@@ -197,6 +200,10 @@ if __name__ == "__main__":
             # hflip only: photometric jitter is label noise on the
             # color-coded class regimes (config 3: 50.9 -> 28.4 mAP50)
             augment = "flip"
+        elif a == "--mosaic":
+            # device-side 4-mosaic inside the scanned step
+            # (ops/mosaic_device.py)
+            mosaic = True
         elif a in ("--n-train", "--n-val", "--epochs"):
             overrides[a[2:].replace("-", "_")] = int(args[i + 1])
             i += 1
@@ -205,7 +212,7 @@ if __name__ == "__main__":
             # for a config key (it would crash only AFTER training)
             raise SystemExit(f"unknown flag {a!r} (have: --train-only "
                              f"--eval-only --augment --augment-flip "
-                             f"--n-train N --n-val N --epochs N)")
+                             f"--mosaic --n-train N --n-val N --epochs N)")
         elif a not in CONFIGS:
             raise SystemExit(f"unknown config {a!r} "
                              f"(have: {sorted(CONFIGS)})")
@@ -213,7 +220,8 @@ if __name__ == "__main__":
             keys.append(a)
         i += 1
     for key in keys or ["2", "3", "4"]:
-        spec = dict(CONFIGS[key], augment=augment, **overrides)
+        spec = dict(CONFIGS[key], augment=augment, mosaic=mosaic,
+                    **overrides)
         if overrides:  # a different regime must not reuse the cached set
             spec["name"] += "_n{}".format(spec["n_train"])
-        run(spec, stage=stage, augment=augment)
+        run(spec, stage=stage, augment=augment, mosaic=mosaic)

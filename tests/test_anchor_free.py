@@ -309,3 +309,80 @@ def test_tal_loss_learns_synthetic(cfg_af):
         params = optax.apply_updates(params, updates)
     l1 = float(loss(params))
     assert l1 < l0 * 0.5, (l0, l1)
+
+
+def test_af_loss_from_gt_matches_dense_transport(cfg_af):
+    """Compact labels fed to yolo_loss_anchor_free_from_gt produce the
+    same loss as the dense-transport wrapper on the same GTs (TAL is
+    order-invariant over the GT set; only the padding layout differs)."""
+    from yolo_from_scratch_tpu.data.assign_device import pack_labels
+    from yolo_from_scratch_tpu.models.anchor_free import (
+        yolo_loss_anchor_free_from_gt,
+    )
+
+    nc, img = cfg_af.num_classes, cfg_af.img_size
+    rng = np.random.default_rng(0)
+    b = 2
+    boxes = [
+        np.stack([
+            rng.uniform(0.2, 0.8, 3), rng.uniform(0.2, 0.8, 3),
+            rng.uniform(0.1, 0.4, 3), rng.uniform(0.1, 0.4, 3),
+        ], axis=1).astype(np.float32)
+        for _ in range(b)
+    ]
+    cls_ids = [rng.integers(0, nc, 3) for _ in range(b)]
+
+    # plausible random predictions (same for both paths)
+    key = jax.random.PRNGKey(1)
+    preds = []
+    for s in (8, 16, 32):
+        g = img // s
+        key, k = jax.random.split(key)
+        preds.append(jax.random.normal(k, (b, g, g, 4 * REG_MAX + nc)))
+
+    dense = [
+        np.stack([assign_targets_anchor_free(bx, ci, img, nc)[s]
+                  for bx, ci in zip(boxes, cls_ids)])
+        for s in range(3)
+    ]
+    l_dense = yolo_loss_anchor_free(
+        preds, [jnp.asarray(t) for t in dense], nc, img)
+
+    labels, counts = pack_labels(boxes, cls_ids, 8)
+    valid = (np.arange(8)[None] < counts[:, None])
+    gt_cls = np.eye(nc, dtype=np.float32)[
+        labels[..., 0].astype(int)] * valid[..., None]
+    l_gt = yolo_loss_anchor_free_from_gt(
+        preds, jnp.asarray(labels[..., 1:5]), jnp.asarray(gt_cls),
+        jnp.asarray(valid.astype(np.float32)), nc, img)
+    for a, c in zip(l_dense, l_gt):
+        np.testing.assert_allclose(float(a), float(c), rtol=1e-5)
+
+
+def test_af_compact_train_step_runs(cfg_af):
+    """make_train_step(compact_targets=True) on the anchor-free head:
+    compact labels feed TAL directly (no dense transport); with mosaic
+    and label-level augmentation on, the step compiles and the loss is
+    finite."""
+    from yolo_from_scratch_tpu.data.assign_device import pack_labels
+    from yolo_from_scratch_tpu.train.steps import (
+        create_train_state,
+        make_train_step,
+        set_learning_rate,
+    )
+
+    rng = np.random.default_rng(2)
+    imgs_u8 = rng.integers(0, 256, (4, 128, 128, 3)).astype(np.uint8)
+    boxes = [np.array([[0.5, 0.5, 0.3, 0.3]], np.float32)] * 4
+    cls = [np.array([1])] * 4
+    labels, counts = pack_labels(boxes, cls, 8)
+
+    model, tx, state = create_train_state(jax.random.PRNGKey(0), cfg_af,
+                                          1e-3, batch_size=1)
+    state = set_learning_rate(state, 1e-3)
+    step = make_train_step(model, tx, cfg_af, donate=False,
+                           compact_targets=True, device_mosaic=True,
+                           device_augment="flip")
+    _, metrics = step(state, jnp.asarray(imgs_u8),
+                      (jnp.asarray(labels), jnp.asarray(counts)))
+    assert np.isfinite(float(metrics["loss"]))

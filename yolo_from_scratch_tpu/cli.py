@@ -525,11 +525,6 @@ def main(argv=None):
 
             anchors = cfg.anchors_array
             if args.compact_targets:
-                if cfg.head_type != "anchor":
-                    print("ERROR: --compact-targets supports the anchor "
-                          "head only (the anchor-free head assigns from "
-                          "live predictions inside its loss)")
-                    sys.exit(1)
                 if args.augment:
                     print("ERROR: --compact-targets streams raw labels — "
                           "host-side --augment (mosaic) is unsupported; "
@@ -553,12 +548,16 @@ def main(argv=None):
                 pack_images=cfg.packed_stem, process_shard=shard,
                 compact=args.compact_targets,
             )
+            # eval's grid metrics need dense per-cell maps for the
+            # anchor-free head, so val streams compact only for anchor
+            val_compact = (args.compact_targets
+                           if cfg.head_type == "anchor" else 0)
             val_loader = DataLoader(
                 YoloDataset(config["val"], cfg.num_classes, anchors,
                             cfg.img_size, head_type=cfg.head_type),
                 batch_size=args.batch_size,
                 pack_images=cfg.packed_stem, process_shard=shard,
-                compact=args.compact_targets,
+                compact=val_compact,
             )
             if len(train_loader.dataset) == 0:
                 print(f"ERROR: no images found in {config['train']} "
@@ -583,7 +582,7 @@ def main(argv=None):
             )
             eval_step = make_eval_step(
                 model, cfg, quirk_640=args.reference_quirks,
-                compact_targets=bool(args.compact_targets),
+                compact_targets=bool(val_compact),
             )
 
             multi_scale = None

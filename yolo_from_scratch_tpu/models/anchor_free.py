@@ -301,6 +301,30 @@ def yolo_loss_anchor_free(predictions, targets, num_classes, img_size,
     predictions, then BCE on soft class targets over ALL cells + CIoU +
     DFL on assigned cells, all weighted by the alignment scores.
     Returns (total, bbox, cls) — same contract as round 1."""
+    gt_boxes, gt_cls, gt_valid = _gather_gt(targets, num_classes)
+    return yolo_loss_anchor_free_from_gt(
+        predictions, gt_boxes, gt_cls, gt_valid, num_classes, img_size,
+        box_weight, cls_weight, dfl_weight,
+    )
+
+
+def yolo_loss_anchor_free_from_gt(predictions, gt_boxes, gt_cls, gt_valid,
+                                  num_classes, img_size, box_weight=7.5,
+                                  cls_weight=0.5, dfl_weight=1.5):
+    """The anchor-free loss on an explicit padded GT set — TAL assigns
+    from GT box LISTS, so the dense maps the anchor head needs are pure
+    transport here (`_gather_gt` strips them right back off). The compact
+    training path (data/assign_device.py) therefore feeds this directly:
+    gt_boxes = labels[..., 1:5], gt_cls = one-hot, gt_valid = row mask —
+    no dense materialization anywhere, and no per-cell collision loss
+    (two GTs whose centers share a cell both survive as TAL candidates,
+    where the dense transport kept only one).
+
+    Args:
+        gt_boxes: (B, M, 4) cxcywh normalized.
+        gt_cls: (B, M, nc) one-hot (zero rows where invalid).
+        gt_valid: (B, M) float 0/1.
+    """
     import optax
 
     from yolo_from_scratch_tpu.config import STRIDES
@@ -329,7 +353,6 @@ def yolo_loss_anchor_free(predictions, targets, num_classes, img_size,
          boxes_cxcywh[..., 0:2] + boxes_cxcywh[..., 2:4] / 2], axis=-1
     )
 
-    gt_boxes, gt_cls, gt_valid = _gather_gt(targets, num_classes)
     asn = tal_assign(jax.nn.sigmoid(cls_logits), boxes_xyxy, anchor_pts,
                      gt_boxes, gt_cls, gt_valid)
     fg = asn["fg"]

@@ -89,6 +89,38 @@ def augment_batch(key, images, targets, packed: bool = False,
     return images, out_targets
 
 
+def augment_compact_batch(key, images, labels, valid, packed: bool = False,
+                          flip_p: float = FLIP_P, jitter: bool = True):
+    """Label-level variant of `augment_batch` for paths that carry
+    compact labels instead of dense maps (the anchor-free compact
+    trainer, where TAL consumes GT lists directly): per-image random
+    hflip (images + cx -> 1-cx on valid rows) + photometric jitter.
+
+    Args:
+        images: (B, H, W, C) float32 (packed or unpacked layout).
+        labels: (B, K, 5) [class, cx, cy, w, h].
+        valid: (B, K) bool row mask.
+
+    Returns (images, labels) — `valid` is flip-invariant.
+    """
+    b = images.shape[0]
+    kf, kg, kb = jax.random.split(key, 3)
+    do_flip = jax.random.bernoulli(kf, flip_p, (b,))
+    flipped = flip_images_lr(images, packed)
+    images = jnp.where(do_flip[:, None, None, None], flipped, images)
+    cx = jnp.where(do_flip[:, None] & valid, 1.0 - labels[..., 1],
+                   labels[..., 1])
+    labels = jnp.concatenate(
+        [labels[..., 0:1], cx[..., None], labels[..., 2:]], axis=-1)
+    if jitter:
+        gain = jax.random.uniform(kg, (b, 1, 1, 1), images.dtype,
+                                  *GAIN_RANGE)
+        bias = jax.random.uniform(kb, (b, 1, 1, 1), images.dtype,
+                                  *BIAS_RANGE)
+        images = jnp.clip(images * gain + bias, 0.0, 1.0)
+    return images, labels
+
+
 def make_device_augment(cfg, seed: int = 0, jitter: bool = True):
     """Step-indexed augmentation hook for the train steps:
     aug(step, images, targets) -> (images, targets).

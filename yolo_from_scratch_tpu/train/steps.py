@@ -69,16 +69,22 @@ def create_train_state(rng, cfg: YoloConfig, learning_rate=1e-2, batch_size=1):
     return model, tx, state
 
 
-def _make_loss_fn(model: YOLO, cfg: YoloConfig, quirk_640: bool):
+def _make_loss_fn(model: YOLO, cfg: YoloConfig, quirk_640: bool,
+                  af_compact: bool = False):
     """Head-family dispatch: anchor-based (reference parity) or the
     anchor-free decoupled head. Returns
     loss_fn(params, batch_stats, images, targets)
-      -> (total, (new_batch_stats, bbox, obj, cls))."""
+      -> (total, (new_batch_stats, bbox, obj, cls)).
+
+    `af_compact`: anchor-free head fed by the compact path — `targets`
+    is the explicit GT tuple (gt_boxes, gt_cls, gt_valid) produced by
+    `_make_expand`, consumed by TAL with no dense transport."""
     anchors = cfg.anchors_array
 
     if cfg.head_type == "anchor_free":
         from yolo_from_scratch_tpu.models.anchor_free import (
             yolo_loss_anchor_free,
+            yolo_loss_anchor_free_from_gt,
         )
 
         def loss_fn(params, batch_stats, images, targets):
@@ -86,9 +92,16 @@ def _make_loss_fn(model: YOLO, cfg: YoloConfig, quirk_640: bool):
                 {"params": params, "batch_stats": batch_stats},
                 images, train=True, mutable=["batch_stats"],
             )
-            total, bbox, cls = yolo_loss_anchor_free(
-                preds, targets, cfg.num_classes, cfg.img_size
-            )
+            if af_compact:
+                gt_boxes, gt_cls, gt_valid = targets
+                total, bbox, cls = yolo_loss_anchor_free_from_gt(
+                    preds, gt_boxes, gt_cls, gt_valid, cfg.num_classes,
+                    cfg.img_size,
+                )
+            else:
+                total, bbox, cls = yolo_loss_anchor_free(
+                    preds, targets, cfg.num_classes, cfg.img_size
+                )
             zero = jnp.zeros((), total.dtype)
             return total, (mutated["batch_stats"], bbox, zero, cls)
 
@@ -135,10 +148,15 @@ def make_train_step(model: YOLO, tx, cfg: YoloConfig, quirk_640: bool = False,
     streaming path ships ~1 KB of labels per image instead of dense maps
     (~8.7 MB/img at nc=80 @640). uint8 images are normalized in-step."""
 
-    loss_fn = _make_loss_fn(model, cfg, quirk_640)
-    aug = _make_augment(cfg, device_augment, augment_seed)
+    af_compact = compact_targets and cfg.head_type == "anchor_free"
+    loss_fn = _make_loss_fn(model, cfg, quirk_640, af_compact=af_compact)
+    # anchor-free compact: augmentation rides the label-level expand;
+    # the dense-level hook would not type-check on the GT tuple
+    aug = (None if af_compact
+           else _make_augment(cfg, device_augment, augment_seed))
     expand = _make_expand(cfg, compact_targets, mosaic=device_mosaic,
-                          seed=augment_seed)
+                          seed=augment_seed,
+                          device_augment=device_augment)
 
     def train_step(state: TrainState, images, targets):
         images, targets = expand(state.step, images, targets)
@@ -209,49 +227,77 @@ def make_train_step_multi(model: YOLO, tx, cfg: YoloConfig, quirk_640=False,
 
 
 def _make_expand(cfg: YoloConfig, compact_targets: bool,
-                 mosaic: bool = False, seed: int = 0):
+                 mosaic: bool = False, seed: int = 0,
+                 device_augment=False):
     """Input adapter for the train steps: normalize uint8 images in-step,
     (when `mosaic`) compose a device-side 4-mosaic over the compact
     labels (ops/mosaic_device.py, keyed by the step index), and (when
-    `compact_targets`) rebuild dense target maps on-device from a
-    (labels, counts) tuple. Returns expand(step, images, targets)."""
-    if compact_targets and cfg.head_type != "anchor":
-        raise ValueError("compact targets support the anchor head only")
+    `compact_targets`) build the head's target representation on-device:
+    dense maps for the anchor head (data/assign_device.py), the explicit
+    (gt_boxes, gt_cls, gt_valid) TAL tuple for the anchor-free head —
+    whose loss assigns from GT lists, so no dense transport exists at
+    all on that path.
+
+    `device_augment` applies ONLY on the anchor-free compact path
+    (label-level hflip/jitter, ops/augment.augment_compact_batch) — the
+    anchor paths keep their dense-level hook in the step functions.
+    Returns expand(step, images, targets)."""
     if mosaic and not compact_targets:
         raise ValueError("device mosaic requires compact targets (it "
                          "transforms raw labels, not dense maps)")
     anchors = cfg.anchors_array
+    af = cfg.head_type == "anchor_free"
+    packed = bool(getattr(cfg, "packed_stem", False))
     # distinct stream from the flip/jitter hook (seed ^ a fixed salt)
     mosaic_base = jax.random.PRNGKey(seed ^ 0x6D6F7361) if mosaic else None
+    aug_base = (jax.random.PRNGKey(seed)
+                if af and compact_targets and device_augment else None)
 
     def expand(step, images, targets):
         if images.dtype == jnp.uint8:
             images = images.astype(jnp.float32) / 255.0
-        if compact_targets:
-            from yolo_from_scratch_tpu.data.assign_device import (
-                assign_targets_device_batch,
-                assign_targets_device_masked_batch,
+        if not compact_targets:
+            return images, targets
+
+        labels, counts = targets
+        k = labels.shape[1]
+        if mosaic:
+            from yolo_from_scratch_tpu.ops.mosaic_device import (
+                mosaic_compact_batch,
             )
 
-            labels, counts = targets
-            if mosaic:
-                from yolo_from_scratch_tpu.ops.mosaic_device import (
-                    mosaic_compact_batch,
+            key = jax.random.fold_in(mosaic_base, step)
+            images, labels, valid = mosaic_compact_batch(
+                key, images, labels, counts,
+                min_box=2.0 / cfg.img_size, packed=packed,
+            )
+        else:
+            valid = jnp.arange(k)[None, :] < counts[:, None]
+
+        if af:
+            if aug_base is not None:
+                from yolo_from_scratch_tpu.ops.augment import (
+                    augment_compact_batch,
                 )
 
-                key = jax.random.fold_in(mosaic_base, step)
-                images, labels, valid = mosaic_compact_batch(
-                    key, images, labels, counts,
-                    min_box=2.0 / cfg.img_size,
-                    packed=bool(getattr(cfg, "packed_stem", False)),
-                )
-                targets = assign_targets_device_masked_batch(
-                    labels, valid, anchors, cfg.img_size, cfg.num_classes
-                )
-            else:
-                targets = assign_targets_device_batch(
-                    labels, counts, anchors, cfg.img_size, cfg.num_classes
-                )
+                images, labels = augment_compact_batch(
+                    jax.random.fold_in(aug_base, step), images, labels,
+                    valid, packed=packed,
+                    jitter=(device_augment != "flip"))
+            cls_ids = jnp.clip(labels[..., 0].astype(jnp.int32), 0,
+                               cfg.num_classes - 1)
+            gt_cls = (jax.nn.one_hot(cls_ids, cfg.num_classes)
+                      * valid[..., None])
+            return images, (labels[..., 1:5], gt_cls,
+                            valid.astype(jnp.float32))
+
+        from yolo_from_scratch_tpu.data.assign_device import (
+            assign_targets_device_masked_batch,
+        )
+
+        targets = assign_targets_device_masked_batch(
+            labels, valid, anchors, cfg.img_size, cfg.num_classes
+        )
         return images, targets
 
     return expand
@@ -278,13 +324,18 @@ def make_train_step_multi_compact(model: YOLO, tx, cfg: YoloConfig,
     is (B*K, 9) elementwise work + three scatters — noise next to the
     conv step.
 
-    Anchor head only (the anchor-free head assigns from live predictions
-    already, inside its loss).
+    Both head families: the anchor head expands to dense maps on-device;
+    the anchor-free head feeds the compact labels to TAL DIRECTLY
+    (yolo_loss_anchor_free_from_gt) — its natural input is a GT list, so
+    this path has no dense targets anywhere.
     """
-    loss_fn = _make_loss_fn(model, cfg, quirk_640)
-    aug = _make_augment(cfg, device_augment, augment_seed)
+    af_compact = cfg.head_type == "anchor_free"
+    loss_fn = _make_loss_fn(model, cfg, quirk_640, af_compact=af_compact)
+    aug = (None if af_compact
+           else _make_augment(cfg, device_augment, augment_seed))
     expand = _make_expand(cfg, compact_targets=True, mosaic=device_mosaic,
-                          seed=augment_seed)
+                          seed=augment_seed,
+                          device_augment=device_augment)
 
     def one_step(state, images, labels, counts):
         images, targets = expand(state.step, images, (labels, counts))
@@ -385,6 +436,10 @@ def make_eval_step(model: YOLO, cfg: YoloConfig, conf_threshold=0.5,
     """
 
     anchors = cfg.anchors_array
+    if compact_targets and cfg.head_type == "anchor_free":
+        # the grid-aligned metric counters need the dense per-cell maps
+        raise ValueError("compact eval targets support the anchor head "
+                         "only (anchor-free metrics count dense cells)")
     expand = _make_expand(cfg, compact_targets)
 
     if cfg.head_type == "anchor_free":
