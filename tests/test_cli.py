@@ -133,3 +133,35 @@ def test_packed_stem_train_eval_roundtrip(temp_dataset_dir, trained_ckpt,
                    "--packed-stem"])
     assert ev2.returncode == 0, ev2.stderr[-2000:]
     assert "F1 Score:" in ev2.stdout
+
+
+def test_compact_mosaic_flag_guards(temp_dataset_dir):
+    """--device-mosaic needs --compact-targets; --compact-targets rejects
+    host-side --augment (both fail fast, before any compile)."""
+    yaml = str(temp_dataset_dir / "dataset.yaml")
+    r = run_cli([yaml, "--device-mosaic"])
+    assert r.returncode == 1
+    assert "requires --compact-targets" in r.stdout
+    r = run_cli([yaml, "--compact-targets", "--augment"])
+    assert r.returncode == 1
+    assert "host-side --augment" in r.stdout
+
+
+def test_compact_targets_train_with_mosaic(temp_dataset_dir,
+                                           tmp_path_factory):
+    """The compact streaming product path end to end through the CLI:
+    uint8 images + padded labels, on-device assignment, device mosaic +
+    flip augmentation — same train/eval stdout contract, checkpoint
+    saved."""
+    workdir = tmp_path_factory.mktemp("cli_compact")
+    result = run_cli(
+        [str(temp_dataset_dir / "dataset.yaml"), "--epochs", "1", "--size",
+         "n", "--img-size", "128", "--batch-size", "5", "--lr", "1e-3",
+         "--compact-targets", "8", "--device-mosaic", "--device-augment",
+         "flip"],
+        cwd=workdir,
+    )
+    assert result.returncode == 0, result.stderr[-2000:]
+    assert "Epoch 1:" in result.stdout
+    assert "Model saved to" in result.stdout
+    assert len(list(workdir.glob("yolo_*.ckpt"))) == 1
