@@ -196,3 +196,36 @@ def test_mosaic_train_step_runs():
     _, metrics = step(state, jnp.asarray(imgs_u8),
                       (jnp.asarray(labels), jnp.asarray(counts)))
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_label_flip_commutes_with_assignment():
+    """The af-compact augmentation path flips LABELS (ops/augment.
+    augment_compact_batch) while the anchor paths flip DENSE maps
+    (flip_targets_lr). Both must be the same transform: assigning flipped
+    labels == flipping the assigned maps (shape-only anchor matching is
+    flip-invariant, so routing cannot change)."""
+    from yolo_from_scratch_tpu.ops.augment import flip_targets_lr
+
+    cfg = YoloConfig(num_classes=3, img_size=128)
+    rng = np.random.default_rng(7)
+    _, labels, counts = _batch(rng, b=1, k=8, nc=3)
+    lab = labels[0].copy()
+    n = counts[0]
+    # avoid centers whose cx*gs is integral: 1-cx then lands on a cell
+    # boundary where truncation breaks the mirror identity (measure-zero
+    # for real data; the random draw above never hits it)
+    flipped = lab.copy()
+    flipped[:n, 1] = 1.0 - flipped[:n, 1]
+
+    direct = assign_targets_device(
+        jnp.asarray(flipped), jnp.asarray(counts[0]), cfg.anchors_array,
+        cfg.img_size, cfg.num_classes)
+    via_dense = [
+        flip_targets_lr(t, x_axis=-3)
+        for t in assign_targets_device(
+            jnp.asarray(lab), jnp.asarray(counts[0]), cfg.anchors_array,
+            cfg.img_size, cfg.num_classes)
+    ]
+    for a, b in zip(direct, via_dense):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6)
