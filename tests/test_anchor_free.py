@@ -386,3 +386,32 @@ def test_af_compact_train_step_runs(cfg_af):
     _, metrics = step(state, jnp.asarray(imgs_u8),
                       (jnp.asarray(labels), jnp.asarray(counts)))
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_af_grid_metric_ignores_dfl_logits():
+    """Regression: confidence must come from the CLASS logits (after the
+    4*REG_MAX DFL channels), not the distribution logits — a cell with
+    hot DFL logits but strongly negative class logits is NOT a predicted
+    positive."""
+    from yolo_from_scratch_tpu.train.metrics import (
+        grid_metric_counts_anchor_free,
+    )
+
+    nc, img, stride = 3, 128, 8
+    g = img // stride
+    pred = np.zeros((1, g, g, 4 * REG_MAX + nc), np.float32)
+    pred[..., : 4 * REG_MAX] = 5.0   # sigmoid ~1 on every DFL logit
+    pred[..., 4 * REG_MAX:] = -10.0  # class scores ~0 everywhere
+    target = np.zeros((1, g, g, 4 + 1 + nc), np.float32)
+    tp, fp, fn = grid_metric_counts_anchor_free(
+        jnp.asarray(pred), jnp.asarray(target), stride, img)
+    assert int(fp) == 0 and int(tp) == 0 and int(fn) == 0
+
+    # and a genuinely confident class cell still counts
+    target[0, 4, 4, 0:4] = [0.28, 0.28, 0.1, 0.1]
+    target[0, 4, 4, 4] = 1.0
+    pred[0, 4, 4, 4 * REG_MAX + 1] = 10.0
+    tp, fp, fn = grid_metric_counts_anchor_free(
+        jnp.asarray(pred), jnp.asarray(target), stride, img)
+    assert int(tp) + int(fp) + int(fn) >= 1
+    assert int(fp) <= 1  # only the one hot cell can be a predicted positive

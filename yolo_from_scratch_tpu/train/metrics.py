@@ -69,11 +69,25 @@ def grid_metric_counts_anchor_free(
 ):
     """Anchor-free analogue of `grid_metric_counts`: confidence is the max
     class score (objectness is folded into cls in the decoupled head);
-    the assigned flag lives at target channel 4."""
-    from yolo_from_scratch_tpu.models.anchor_free import decode_anchor_free
+    the assigned flag lives at target channel 4. The class logits start
+    AFTER the 4*REG_MAX DFL distribution logits — slicing from channel 4
+    (the pre-DFL round-1 layout) would max over distribution logits,
+    flagging nearly every cell positive.
+
+    Caveat: this legacy CELL-ALIGNED metric scores agreement with the
+    size-routed transport cell, which the TAL-trained head does not
+    optimize (TAL picks cells by alignment, often a neighbour) — so its
+    P/R/F1 understate a good TAL model. The NMS-path mAP (`--map`,
+    train/map_eval.py) is the meaningful quality metric for this head;
+    this counter is kept for stdout-contract parity with the anchor
+    path."""
+    from yolo_from_scratch_tpu.models.anchor_free import (
+        REG_MAX,
+        decode_anchor_free,
+    )
 
     decoded = decode_anchor_free(pred, stride, img_size)
-    conf = jnp.max(jax.nn.sigmoid(pred[..., 4:]), axis=-1)
+    conf = jnp.max(jax.nn.sigmoid(pred[..., 4 * REG_MAX:]), axis=-1)
     pm = conf > conf_threshold
     tm = target[..., 4] > conf_threshold
 
