@@ -109,3 +109,25 @@ def test_evaluate_map_batched_matches_single(cfg, model_and_vars,
     b = evaluate_map(batched, ds, max_images=3, num_classes=1, batch_size=2)
     assert b["map50"] == pytest.approx(a["map50"], abs=1e-6)
     assert b["map"] == pytest.approx(a["map"], abs=1e-6)
+
+
+def test_detection_prf1_operating_point():
+    """Detection-level P/R/F1 at conf 0.5: one TP, one low-conf detection
+    (ignored), one high-conf FP, one missed GT."""
+    from yolo_from_scratch_tpu.train.map_eval import detection_prf1
+
+    dets = [[
+        (10, 10, 20, 20, 0.9, 0),    # matches gt0 -> TP
+        (50, 50, 60, 60, 0.4, 0),    # below conf threshold -> ignored
+        (80, 80, 90, 90, 0.8, 0),    # no gt there -> FP
+    ]]
+    gts = [[
+        (0, 10, 10, 20, 20),         # matched
+        (0, 50, 50, 60, 60),         # only covered below threshold -> FN
+    ]]
+    p, r, f1 = detection_prf1(dets, gts)
+    assert p == 50.0 and r == 50.0 and f1 == 50.0
+    # class-aware: same box, wrong class, must not match
+    p2, _, _ = detection_prf1([[(10, 10, 20, 20, 0.9, 1)]],
+                              [[(0, 10, 10, 20, 20)]])
+    assert p2 == 0.0

@@ -467,6 +467,9 @@ def main(argv=None):
                                      num_classes=cfg.num_classes)
                     print(f"  mAP@0.5: {m['map50'] * 100:.2f}%")
                     print(f"  mAP@[.5:.95]: {m['map'] * 100:.2f}%")
+                    print(f"  Detection P/R/F1 @conf0.5: "
+                          f"{m['det_precision']:.2f}% / "
+                          f"{m['det_recall']:.2f}% / {m['det_f1']:.2f}%")
                     if cfg.num_classes > 1 and m.get("per_class_ap50"):
                         names = config.get("names") or []
                         print("  Per-class AP@0.5:")

@@ -111,6 +111,42 @@ def average_precision(detections, ground_truths, iou_threshold=0.5,
     return mAP, aps
 
 
+def detection_prf1(detections, ground_truths, conf_threshold=0.5,
+                   iou_threshold=0.5):
+    """Detection-level P/R/F1 at a fixed operating point: class-aware
+    greedy matching of conf>=threshold NMS detections against GTs.
+
+    This is the head-agnostic counterpart of the reference's grid-aligned
+    P/R/F1 — it scores the actual detections a user gets, so it is
+    meaningful for BOTH heads (the cell-aligned counter understates
+    TAL-trained anchor-free models, train/metrics.py caveat).
+    Returns (P%, R%, F1%)."""
+    tp = fp = total_gt = 0
+    for dets, gts in zip(detections, ground_truths):
+        total_gt += len(gts)
+        rows = sorted([d for d in dets if d[4] >= conf_threshold],
+                      key=lambda d: -d[4])
+        gt_boxes = np.asarray([g[1:5] for g in gts],
+                              np.float32).reshape(-1, 4)
+        gt_cls = np.asarray([int(g[0]) for g in gts], np.int64)
+        used = np.zeros(len(gt_boxes), bool)
+        for d in rows:
+            cand = (~used) & (gt_cls == int(d[5]))
+            if cand.any():
+                ious = np.where(
+                    cand, _iou_corner(np.asarray(d[:4]), gt_boxes), -1.0)
+                j = int(np.argmax(ious))
+                if ious[j] >= iou_threshold:
+                    tp += 1
+                    used[j] = True
+                    continue
+            fp += 1
+    fn = total_gt - tp
+    from yolo_from_scratch_tpu.train.metrics import prf1
+
+    return prf1(tp, fp, fn)
+
+
 def coco_map(detections, ground_truths, num_classes=1,
              iou_thresholds=None):
     """mAP averaged over IoU thresholds .5:.05:.95 (COCO), plus AP@0.5.
@@ -182,4 +218,7 @@ def evaluate_map(predictor, dataset, max_images=None, num_classes=1,
                 (cx + bw / 2) * w, (cy + bh / 2) * h,
             ))
         gts.append(gt)
-    return coco_map(detections, gts, num_classes)
+    out = coco_map(detections, gts, num_classes)
+    p, r, f1 = detection_prf1(detections, gts)
+    out.update({"det_precision": p, "det_recall": r, "det_f1": f1})
+    return out
