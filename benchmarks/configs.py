@@ -174,6 +174,7 @@ def _eval(spec, cfg, variables, root, train_ips):
         "kmeans_anchors": bool(spec["kmeans"]),
         "device_augment": spec.get("augment", False) or False,
         "device_mosaic": spec.get("mosaic", False),
+        "det_f1": round(m["det_f1"], 1),
     }
     print(json.dumps(result), flush=True)
     out = Path(__file__).parent / "configs_results.jsonl"

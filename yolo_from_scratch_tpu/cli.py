@@ -342,6 +342,8 @@ def main(argv=None):
         print(f"Image size: {cfg.img_size}")
         print(f"Width multiplier: {cfg.width_mult}")
         print(f"Depth multiplier: {cfg.depth_mult}")
+        if cfg.head_type != "anchor":
+            print(f"Head type: {cfg.head_type}")
         print("\nModel architecture:")
         total = 0
         for name, p in _param_tree_items(variables["params"]):
