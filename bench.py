@@ -231,8 +231,37 @@ def bench_infer(cfg):
     return statistics.median(times)
 
 
+def _probe_backend(timeout_s=240):
+    """The axon tunnel can hang INDEFINITELY (no error) when the remote
+    side is down — observed 2026-08-17, multi-hour outage — and a hung
+    bench records nothing at all. Trigger backend init + one trivial op
+    in a daemon thread; True iff it completes within `timeout_s`."""
+    import threading
+
+    done = []
+
+    def probe():
+        done.append(float(jnp.ones((8, 8)).sum()))
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    return bool(done)
+
+
 def main():
     t_start = time.perf_counter()
+    if not _probe_backend():
+        # honest failure record beats a silent hang past the driver budget
+        print(json.dumps({
+            "metric": f"train_images_per_sec_per_chip_{IMG}",
+            "value": 0,
+            "unit": "img/s",
+            "vs_baseline": 0,
+            "error": "backend unresponsive (axon tunnel down?) — see "
+                     "BASELINE.md for the last measured numbers",
+        }), flush=True)
+        os._exit(0)  # the stuck probe thread would block normal exit
     platform = jax.devices()[0].platform
     log(f"backend: {platform} ({jax.devices()[0]})")
 
