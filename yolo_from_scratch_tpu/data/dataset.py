@@ -317,6 +317,7 @@ class YoloDataset:
 
         indices = [int(i) for i in indices]
         boxes_list, class_list = [], []
+        warn_over = not getattr(self, "_warned_capacity", False)
         if self.backend == "native":
             from yolo_from_scratch_tpu import native
 
@@ -355,6 +356,17 @@ class YoloDataset:
             images = np.stack(imgs_u8)
             if image_dtype != "uint8":
                 images = images.astype(np.float32) / 255.0
+        if warn_over:
+            over = max((len(b) for b in boxes_list), default=0)
+            if over > capacity:
+                import sys
+
+                print(f"WARNING: image with {over} boxes exceeds the "
+                      f"compact-label capacity K={capacity}; keeping the "
+                      f"first {capacity} (file order). Raise "
+                      f"--compact-targets K to keep all boxes.",
+                      file=sys.stderr, flush=True)
+                self._warned_capacity = True
         labels, counts = pack_labels(boxes_list, class_list, capacity)
         return images, labels, counts
 
