@@ -165,3 +165,17 @@ def test_compact_targets_train_with_mosaic(temp_dataset_dir,
     assert "Epoch 1:" in result.stdout
     assert "Model saved to" in result.stdout
     assert len(list(workdir.glob("yolo_*.ckpt"))) == 1
+
+
+def test_mesh_axis_flag_guards(temp_dataset_dir):
+    """--spatial/--model-parallel are secondary mesh axes: without
+    --data-parallel they fail fast instead of silently doing nothing;
+    together they are mutually exclusive."""
+    yaml = str(temp_dataset_dir / "dataset.yaml")
+    r = run_cli([yaml, "--model-parallel", "2"])
+    assert r.returncode == 1
+    assert "require --data-parallel" in r.stdout
+    r = run_cli([yaml, "--data-parallel", "--spatial", "2",
+                 "--model-parallel", "2"])
+    assert r.returncode == 1
+    assert "mutually exclusive" in r.stdout

@@ -375,6 +375,11 @@ def main(argv=None):
 
     elif yaml_file and config is not None:
         mesh = None
+        if not args.data_parallel and (args.spatial > 1
+                                       or args.model_parallel > 1):
+            print("ERROR: --spatial/--model-parallel require "
+                  "--data-parallel (they are secondary mesh axes)")
+            sys.exit(1)
         if args.data_parallel:
             if args.spatial > 1 and args.model_parallel > 1:
                 print("ERROR: --spatial and --model-parallel are mutually "
