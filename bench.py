@@ -249,18 +249,62 @@ def _probe_backend(timeout_s=240):
     return bool(done)
 
 
+def _probe_backend_retry(attempts=(90, 120, 180), backoff_s=20):
+    """Probe with retry/backoff over a bounded window (~7 min worst case).
+    A transient tunnel blip should not cost a round's perf record; a real
+    outage still fails fast enough to leave budget for the error record."""
+    for i, t in enumerate(attempts):
+        if _probe_backend(t):
+            if i:
+                log(f"backend probe succeeded on attempt {i + 1}")
+            return True
+        log(f"backend probe attempt {i + 1}/{len(attempts)} timed out ({t}s)")
+        if i + 1 < len(attempts):
+            time.sleep(backoff_s)
+    return False
+
+
+LASTGOOD_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_LASTGOOD.json")
+
+
+def _save_lastgood(record):
+    """Persist the last successful headline measurement with a timestamp so
+    a later tunnel outage can report it instead of losing the perf story."""
+    record = dict(record)
+    record["captured_at"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+    try:
+        with open(LASTGOOD_PATH, "w") as f:
+            json.dump(record, f, indent=1)
+    except OSError as e:
+        log(f"could not persist last-good record: {e}")
+
+
+def _load_lastgood():
+    try:
+        with open(LASTGOOD_PATH) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return None
+
+
 def main():
     t_start = time.perf_counter()
-    if not _probe_backend():
-        # honest failure record beats a silent hang past the driver budget
-        print(json.dumps({
+    if not _probe_backend_retry():
+        # honest failure record beats a silent hang past the driver budget;
+        # surface the timestamped last-good measurement alongside
+        record = {
             "metric": f"train_images_per_sec_per_chip_{IMG}",
             "value": 0,
             "unit": "img/s",
             "vs_baseline": 0,
-            "error": "backend unresponsive (axon tunnel down?) — see "
-                     "BASELINE.md for the last measured numbers",
-        }), flush=True)
+            "error": "backend unresponsive after 3 probe attempts "
+                     "(axon tunnel down?)",
+        }
+        lastgood = _load_lastgood()
+        if lastgood:
+            record["last_good"] = lastgood
+        print(json.dumps(record), flush=True)
         os._exit(0)  # the stuck probe thread would block normal exit
     platform = jax.devices()[0].platform
     log(f"backend: {platform} ({jax.devices()[0]})")
@@ -280,13 +324,15 @@ def main():
     # The axon remote compiler has no persistent cache; the infer graph is
     # another multi-minute compile. Print the headline FIRST so a driver
     # timeout can never lose it, then attempt the secondary metric.
-    result = json.dumps({
+    headline = {
         "metric": f"train_images_per_sec_per_chip_{IMG}",
         "value": round(train_ips, 2),
         "unit": "img/s",
         "vs_baseline": round(train_ips / REFERENCE_CPU_TRAIN_IMG_S, 2),
-    })
-    print(result, flush=True)
+    }
+    print(json.dumps(headline), flush=True)
+    if jax.devices()[0].platform != "cpu":
+        _save_lastgood(headline)
 
     extra = {
         "train_images_per_sec_per_chip_640": round(train_ips, 2),
