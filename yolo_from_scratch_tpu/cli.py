@@ -128,6 +128,28 @@ def build_parser():
                              "restores mosaic for the compact path, "
                              "whose raw-label stream skips the host "
                              "mosaic by design")
+    parser.add_argument("--stream", action="store_true",
+                        help="Train out-of-HBM from a one-time on-disk "
+                             "cache (pre-letterboxed uint8 + compact "
+                             "labels, data/cache.py): epochs stream "
+                             "through a double-buffered chunk ring into "
+                             "the scanned trainer — no per-epoch decode, "
+                             "O(chunk) device memory for any dataset "
+                             "size. Implies compact targets")
+    parser.add_argument("--stream-pool", type=int, default=0, metavar="P",
+                        help="With --stream: keep a P-image sample pool "
+                             "resident in HBM, refreshed from disk in "
+                             "the background (shuffle-buffer with data "
+                             "echoing) — training runs at chip rate even "
+                             "when the host->device link is slower than "
+                             "the chip consumes; fresh-data ingest rate "
+                             "is reported per epoch alongside img/s")
+    parser.add_argument("--stream-chunk", type=int, default=16, metavar="N",
+                        help="With --stream: optimizer steps per scanned "
+                             "dispatch (default 16)")
+    parser.add_argument("--cache-dir", type=str, default=None,
+                        help="With --stream: cache location (default: a "
+                             ".yolo_tpu_cache_* dir next to the images)")
     parser.add_argument("--reference-quirks", action="store_true",
                         help="Replicate the reference's 640-denominator decode "
                              "in loss/eval at non-640 resolutions")
@@ -534,6 +556,32 @@ def main(argv=None):
                 )
 
             anchors = cfg.anchors_array
+            if args.stream:
+                for flag, bad in (("--augment", args.augment),
+                                  ("--ema", args.ema),
+                                  ("--multi-scale", args.multi_scale),
+                                  ("--distributed", args.distributed),
+                                  ("--spatial", args.spatial > 1),
+                                  ("--model-parallel",
+                                   args.model_parallel > 1)):
+                    if bad:
+                        print(f"ERROR: --stream does not compose with "
+                              f"{flag}; use --device-augment/"
+                              f"--device-mosaic for augmentation on the "
+                              f"stream path")
+                        sys.exit(1)
+                if args.stream_pool and mesh is not None:
+                    print("ERROR: --stream-pool is single-device (the "
+                          "pool gather does not shard); use --stream "
+                          "with --data-parallel instead")
+                    sys.exit(1)
+                if mesh is not None and args.batch_size % mesh.size:
+                    print(f"ERROR: --batch-size {args.batch_size} must be "
+                          f"divisible by the mesh size {mesh.size}")
+                    sys.exit(1)
+            elif args.stream_pool or args.cache_dir:
+                print("ERROR: --stream-pool/--cache-dir require --stream")
+                sys.exit(1)
             if args.compact_targets:
                 if args.augment:
                     print("ERROR: --compact-targets streams raw labels — "
@@ -595,6 +643,57 @@ def main(argv=None):
                 compact_targets=bool(val_compact),
             )
 
+            stream = None
+            if args.stream:
+                from yolo_from_scratch_tpu.data.cache import ensure_cache
+                from yolo_from_scratch_tpu.data.stream import (
+                    ChunkStream,
+                    PoolStream,
+                )
+                from yolo_from_scratch_tpu.train.steps import (
+                    make_train_step_multi_compact,
+                    make_train_step_multi_pool,
+                )
+
+                k = args.compact_targets or 64
+                cache = ensure_cache(train_loader.dataset, capacity=k,
+                                     packed=cfg.packed_stem,
+                                     cache_dir=args.cache_dir)
+                placement = None
+                if mesh is not None and mesh.size > 1:
+                    from jax.sharding import NamedSharding
+                    from jax.sharding import PartitionSpec as P
+
+                    from yolo_from_scratch_tpu.parallel.mesh import DATA_AXIS
+
+                    placement = NamedSharding(mesh, P(None, DATA_AXIS))
+                if args.stream_pool:
+                    stream = PoolStream(
+                        cache, pool_size=args.stream_pool,
+                        batch_size=args.batch_size,
+                        steps_per_chunk=args.stream_chunk, seed=args.seed)
+                    train_step = make_train_step_multi_pool(
+                        model, tx, cfg, quirk_640=args.reference_quirks,
+                        device_augment=args.device_augment,
+                        augment_seed=args.seed,
+                        device_mosaic=args.device_mosaic)
+                    print(f"Streaming from cache ({len(cache)} images) via "
+                          f"a {stream.pool_size}-image HBM pool, "
+                          f"{args.stream_chunk} steps/dispatch")
+                else:
+                    stream = ChunkStream(
+                        cache, batch_size=args.batch_size,
+                        steps_per_chunk=args.stream_chunk, shuffle=True,
+                        seed=args.seed, placement=placement)
+                    train_step = make_train_step_multi_compact(
+                        model, tx, cfg, quirk_640=args.reference_quirks,
+                        device_augment=args.device_augment,
+                        augment_seed=args.seed,
+                        device_mosaic=args.device_mosaic)
+                    print(f"Streaming from cache ({len(cache)} images), "
+                          f"double-buffered chunks of "
+                          f"{args.stream_chunk} steps")
+
             multi_scale = None
             if args.multi_scale:
                 # 0.75x/1x/1.25x buckets rounded to /32 — one model/step/
@@ -650,7 +749,7 @@ def main(argv=None):
                 metrics_path=args.metrics_jsonl, start_epoch=start_epoch,
                 save_path=save_path, use_ema=args.ema,
                 initial_ema=resume_ema if args.resume else None,
-                multi_scale=multi_scale,
+                multi_scale=multi_scale, stream=stream,
             )
             print(f"\nTraining complete. Model saved to {save_path}")
     else:

@@ -108,6 +108,7 @@ def fit(
     ema_decay=0.9999,
     initial_ema=None,
     multi_scale=None,
+    stream=None,
 ):
     """Full training driver (reference: train.py:1520-1545): per-epoch
     train + eval + checkpoint + LR step. Returns (state, save_path).
@@ -120,6 +121,12 @@ def fit(
 
     `metrics_path`: optional JSONL file receiving one structured record per
     epoch (SURVEY.md §5.5).
+
+    `stream`: optional ChunkStream/PoolStream (data/stream.py). When set,
+    training epochs run `stream.run_epoch(train_step, state)` — the
+    scanned out-of-HBM path over the disk cache — and `train_loader` is
+    unused. Eval still runs through `val_loader` every epoch. Mutually
+    exclusive with `use_ema`/`multi_scale` (the CLI guards this).
 
     `multi_scale`: optional list of (train_step, train_loader) pairs, one
     per resolution bucket — epoch e trains with pair e % len (YOLOv5-style
@@ -177,7 +184,13 @@ def fit(
         state = set_learning_rate(state, lr)
         epoch_step, epoch_loader = schedule[epoch % len(schedule)]
 
-        if use_ema:
+        ingest_img_s = None
+        if stream is not None:
+            state, means, n_imgs, dt = stream.run_epoch(epoch_step, state)
+            loss, bbox, obj, cls = (means.get(k, 0.0) for k in
+                                    ("loss", "bbox", "obj", "cls"))
+            ingest_img_s = means.get("ingest_img_s")
+        elif use_ema:
             carry = (state, ema)
             carry, loss, bbox, obj, cls, n_imgs, dt = train_epoch(
                 epoch_step, carry, epoch_loader, mesh
@@ -193,18 +206,24 @@ def fit(
             eval_step, eval_params, eval_stats, val_loader, mesh
         )
 
+        ingest = (f" | ingest {ingest_img_s:.1f} img/s"
+                  if ingest_img_s is not None else "")
         log(
             f"Epoch {epoch + 1}: "
             f"Loss: {loss:.4f} (bbox: {bbox:.4f}, obj: {obj:.4f}, cls: {cls:.4f}) | "
             f"Val: Loss {val_loss:.4f}, P {val_p:.1f}%, R {val_r:.1f}%, "
             f"F1 {val_f1:.1f}% | LR: {lr:.6f} | {n_imgs / max(dt, 1e-9):.1f} img/s"
+            f"{ingest}"
         )
-        metrics_logger.log({
+        record = {
             "epoch": epoch + 1, "loss": loss, "bbox": bbox, "obj": obj,
             "cls": cls, "val_loss": val_loss, "val_precision": val_p,
             "val_recall": val_r, "val_f1": val_f1, "lr": lr,
             "images_per_sec": n_imgs / max(dt, 1e-9),
-        })
+        }
+        if ingest_img_s is not None:
+            record["ingest_images_per_sec"] = ingest_img_s
+        metrics_logger.log(record)
 
         # multi-host: params are replicated, so only process 0 writes the
         # (identical) checkpoint — concurrent writers on a shared FS race

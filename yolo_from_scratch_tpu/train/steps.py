@@ -362,6 +362,61 @@ def make_train_step_multi_compact(model: YOLO, tx, cfg: YoloConfig,
     return jax.jit(train_steps, donate_argnums=donate_argnums)
 
 
+def make_train_step_multi_pool(model: YOLO, tx, cfg: YoloConfig,
+                               quirk_640=False, donate=True,
+                               device_augment: bool = False,
+                               augment_seed: int = 0,
+                               device_mosaic: bool = False):
+    """Scanned multi-step trainer sampling from a DEVICE-RESIDENT pool
+    (data/stream.PoolStream): each scan step gathers its batch from the
+    staged pool by index, so the host->device link carries only fresh
+    pool refreshes + a tiny (N, B) index array per dispatch.
+
+    (state, pool_images (P, H, W, C) uint8, pool_labels (P, K, 5),
+     pool_counts (P,), idx (N, B) int32) -> (state, metrics)
+
+    The pool arrays are NOT donated — they persist across dispatches and
+    are refreshed in place via the donated slot writer (PoolStream).
+    Sampling + expansion reuse the compact-path machinery: uint8
+    normalize, optional device mosaic/augment, on-device target assembly
+    (dense maps for the anchor head, GT lists for TAL).
+    """
+    af_compact = cfg.head_type == "anchor_free"
+    loss_fn = _make_loss_fn(model, cfg, quirk_640, af_compact=af_compact)
+    aug = (None if af_compact
+           else _make_augment(cfg, device_augment, augment_seed))
+    expand = _make_expand(cfg, compact_targets=True, mosaic=device_mosaic,
+                          seed=augment_seed,
+                          device_augment=device_augment)
+
+    def one_step(state, images, labels, counts):
+        images, targets = expand(state.step, images, (labels, counts))
+        if aug is not None:
+            images, targets = aug(state.step, images, targets)
+        (total, (new_bs, bbox, obj, cls)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, state.batch_stats, images, targets)
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(new_params, new_bs, new_opt_state, state.step + 1),
+            {"loss": total, "bbox": bbox, "obj": obj, "cls": cls},
+        )
+
+    def train_steps(state, pool_images, pool_labels, pool_counts, idx):
+        def body(state, idx_step):
+            images = jnp.take(pool_images, idx_step, axis=0)
+            labels = jnp.take(pool_labels, idx_step, axis=0)
+            counts = jnp.take(pool_counts, idx_step, axis=0)
+            return one_step(state, images, labels, counts)
+
+        state, metrics = jax.lax.scan(body, state, idx)
+        return state, jax.tree.map(jnp.mean, metrics)
+
+    donate_argnums = (0,) if donate else ()
+    return jax.jit(train_steps, donate_argnums=donate_argnums)
+
+
 def make_train_step_accum(model: YOLO, tx, cfg: YoloConfig, n_accum: int,
                           quirk_640: bool = False, donate: bool = True,
                           device_augment: bool = False,
