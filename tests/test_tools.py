@@ -62,3 +62,43 @@ def test_synth_small_object_range(tmp_path):
     for line in rows.strip().split("\n"):
         _, _, _, w, h = (float(v) for v in line.split())
         assert 0.015 <= w <= 0.06 and 0.015 <= h <= 0.06
+
+
+def test_ici_dp_projection_model():
+    """The DP scaling projection: ring all-reduce wire volume, monotone
+    efficiency, and consistency with hand math at N=8."""
+    from yolo_from_scratch_tpu.utils.roofline import (
+        V5E_ICI_ONEWAY_BW,
+        ici_dp_projection,
+        param_bytes,
+    )
+
+    cfg = YoloConfig(num_classes=1, img_size=128, width_mult=0.25,
+                     compute_dtype="bfloat16")
+    pb = param_bytes(cfg)
+    assert pb > 1e6  # nano is ~1.9M params fp32
+
+    rows = ici_dp_projection(cfg, batch_per_chip=4, n_chips=(2, 8, 256),
+                             measured_step_ms=10.0)
+    by_n = {r["n_chips"]: r for r in rows}
+    # ring all-reduce: each chip moves 2*(N-1)/N * G bytes
+    r8 = by_n[8]
+    expect_wire = 2.0 * 7 / 8 * pb
+    assert abs(r8["wire_mb_per_chip"] - expect_wire / 1e6) < 1e-6
+    expect_comm = expect_wire / (2 * V5E_ICI_ONEWAY_BW)
+    assert abs(r8["t_comm_ms"] - expect_comm * 1e3) < 1e-9
+    # wire volume (hence comm time) grows with N; efficiency shrinks
+    assert by_n[2]["t_comm_ms"] < by_n[8]["t_comm_ms"] < by_n[256]["t_comm_ms"]
+    assert by_n[2]["eff_no_overlap"] > by_n[256]["eff_no_overlap"]
+    # overlapped efficiency is an upper bound on no-overlap
+    for r in rows:
+        assert r["eff_full_overlap"] >= r["eff_no_overlap"]
+        assert 0 < r["eff_no_overlap"] <= 1
+    # bf16 grads halve the wire bytes
+    half = ici_dp_projection(cfg, 4, (8,), measured_step_ms=10.0,
+                             grad_dtype_bytes=2)[0]
+    assert abs(half["wire_mb_per_chip"] - r8["wire_mb_per_chip"] / 2) < 1e-9
+    # a second torus axis halves comm time
+    two_ax = ici_dp_projection(cfg, 4, (8,), measured_step_ms=10.0,
+                               ici_axes=2)[0]
+    assert abs(two_ax["t_comm_ms"] - r8["t_comm_ms"] / 2) < 1e-9

@@ -24,6 +24,11 @@ import numpy as np
 
 V5E_BF16_FLOPS = 197e12
 V5E_HBM_BW = 819e9
+# v5e inter-chip interconnect: each chip has 4 ICI links arranged as a
+# 2-D torus, ~45 GB/s one-way per link ("How to Scale Your Model" chip
+# table). A bidirectional ring all-reduce on ONE mesh axis uses both
+# directions of that axis's links simultaneously.
+V5E_ICI_ONEWAY_BW = 4.5e10
 
 
 @dataclasses.dataclass
@@ -174,6 +179,103 @@ def markdown_table(cfg, batch=8, measured_img_s=None):
     return "\n".join(lines)
 
 
+def param_bytes(cfg) -> float:
+    """Trainable-parameter bytes (fp32 master params), via eval_shape —
+    no arrays are materialized."""
+    from yolo_from_scratch_tpu.models.yolo import YOLO
+
+    model = YOLO(cfg)
+    variables = jax.eval_shape(
+        lambda: model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, cfg.img_size, cfg.img_size, 3)), train=False,
+        )
+    )
+    leaves = jax.tree_util.tree_leaves(variables["params"])
+    return float(sum(l.size * np.dtype(l.dtype).itemsize for l in leaves))
+
+
+def ici_dp_projection(cfg, batch_per_chip=8, n_chips=(2, 4, 8, 16, 256),
+                      measured_step_ms=None, grad_dtype_bytes=4,
+                      ici_axes=1):
+    """Project data-parallel scaling efficiency over a v5e ICI mesh.
+
+    Model (scaling-book recipe, applied to this framework's DP design in
+    parallel/mesh.py — batch sharded over one mesh axis, XLA inserts one
+    gradient psum per step):
+
+      - psum(grads) lowers to a reduce-scatter + all-gather ring; each
+        chip sends and receives 2*(N-1)/N * G bytes per step, where G is
+        the gradient bytes (= param bytes at the grad dtype).
+      - a bidirectional ring on `ici_axes` torus axes sustains
+        2 * ici_axes * V5E_ICI_ONEWAY_BW bytes/s per chip, so
+        t_comm = 2*(N-1)/N * G / (2 * ici_axes * V5E_ICI_ONEWAY_BW).
+      - t_comp is the measured single-chip step time if given, else the
+        roofline training-step floor (optimistic).
+      - XLA overlaps the psum with the tail of the backward pass; the
+        projection reports both no-overlap (lower bound) and full-overlap
+        (upper bound) efficiency: eff = t_comp / (t_comp + t_comm) and
+        t_comp / max(t_comp, t_comm).
+
+    Beyond one host (v5e: 8 chips) the same math holds across ICI within
+    a pod slice; DCN hops (multi-slice) are NOT modeled here.
+
+    Returns a list of row dicts, one per N in `n_chips`.
+    """
+    pbytes = param_bytes(cfg)
+    grad_bytes = pbytes / 4 * grad_dtype_bytes
+    if measured_step_ms is not None:
+        t_comp = measured_step_ms / 1e3
+    else:
+        s = summarize(cfg, batch_per_chip)
+        t_comp = s["train_t_min_ms"] / 1e3
+    rows = []
+    for n in n_chips:
+        wire = 2.0 * (n - 1) / n * grad_bytes            # bytes per chip
+        t_comm = wire / (2.0 * ici_axes * V5E_ICI_ONEWAY_BW)
+        rows.append({
+            "n_chips": n,
+            "grad_mb": grad_bytes / 1e6,
+            "wire_mb_per_chip": wire / 1e6,
+            "t_comm_ms": t_comm * 1e3,
+            "t_comp_ms": t_comp * 1e3,
+            "eff_no_overlap": t_comp / (t_comp + t_comm),
+            "eff_full_overlap": t_comp / max(t_comp, t_comm),
+            "img_s_no_overlap": n * batch_per_chip / (t_comp + t_comm),
+            "img_s_full_overlap": n * batch_per_chip / max(t_comp, t_comm),
+        })
+    return rows
+
+
+def ici_markdown_table(cfg, batch_per_chip=8, measured_step_ms=None,
+                       grad_dtype_bytes=4, ici_axes=1):
+    rows = ici_dp_projection(cfg, batch_per_chip,
+                             measured_step_ms=measured_step_ms,
+                             grad_dtype_bytes=grad_dtype_bytes,
+                             ici_axes=ici_axes)
+    hdr = ("fp32" if grad_dtype_bytes == 4 else
+           f"{8 * grad_dtype_bytes}-bit") + " grad psum"
+    base = ("measured single-chip step" if measured_step_ms
+            else "roofline step floor")
+    lines = [
+        f"DP scaling projection @ b{batch_per_chip}/chip, {hdr}, "
+        f"{ici_axes} ICI torus axis(es), t_comp from {base} "
+        f"({rows[0]['t_comp_ms']:.2f} ms)",
+        "",
+        "| chips | psum wire MB/chip | t_comm ms | eff (no overlap) "
+        "| eff (overlapped) | img/s (overlapped) |",
+        "|---|---|---|---|---|---|",
+    ]
+    for r in rows:
+        lines.append(
+            f"| {r['n_chips']} | {r['wire_mb_per_chip']:.1f} "
+            f"| {r['t_comm_ms']:.2f} | {100 * r['eff_no_overlap']:.1f}% "
+            f"| {100 * r['eff_full_overlap']:.1f}% "
+            f"| {r['img_s_full_overlap']:.0f} |"
+        )
+    return "\n".join(lines)
+
+
 if __name__ == "__main__":
     import argparse
 
@@ -185,7 +287,19 @@ if __name__ == "__main__":
     ap.add_argument("--img-size", type=int, default=640)
     ap.add_argument("--measured", type=float, default=None,
                     help="measured img/s to compare against")
+    ap.add_argument("--ici", action="store_true",
+                    help="print the DP ICI scaling projection")
+    ap.add_argument("--step-ms", type=float, default=None,
+                    help="measured single-chip step ms for the projection")
+    ap.add_argument("--grad-bytes", type=int, default=4,
+                    help="bytes/element of the gradient psum (4=fp32)")
+    ap.add_argument("--ici-axes", type=int, default=1)
     a = ap.parse_args()
     cfg = YoloConfig.from_size(a.size, img_size=a.img_size,
                                compute_dtype="bfloat16")
-    print(markdown_table(cfg, a.batch, a.measured))
+    if a.ici:
+        print(ici_markdown_table(cfg, a.batch, measured_step_ms=a.step_ms,
+                                 grad_dtype_bytes=a.grad_bytes,
+                                 ici_axes=a.ici_axes))
+    else:
+        print(markdown_table(cfg, a.batch, a.measured))
