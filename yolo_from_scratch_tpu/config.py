@@ -78,10 +78,19 @@ class YoloConfig:
     # inputs still work via a slow on-device pack). Checkpoints are
     # interchangeable with packed_stem=False.
     packed_stem: bool = False
+    # extend the packed evaluation through the first C3 stage (stem1 keeps
+    # its output 2x2-packed; bb_p3_c3a runs as PackedC3 at half spatial /
+    # 4x channels; bb_p3_down consumes the packed map) — the 160x160
+    # small-channel layouts XLA executes ~3-10x off their floors become
+    # well-shaped 64-128-channel convs. Exact (same params/checkpoints);
+    # requires packed_stem.
+    packed_interior: bool = False
 
     def __post_init__(self):
         if self.img_size % 32 != 0:
             raise ValueError(f"img_size must be divisible by 32, got {self.img_size}")
+        if self.packed_interior and not self.packed_stem:
+            raise ValueError("packed_interior requires packed_stem")
         if self.head_type not in ("anchor", "anchor_free"):
             raise ValueError(f"unknown head_type {self.head_type!r}")
         arr = normalize_anchors(self.anchors if self.anchors else None)

@@ -102,6 +102,172 @@ def pack_conv_kernel(w: jnp.ndarray, fi: int) -> jnp.ndarray:
     return jnp.concatenate(outs, axis=-1)
 
 
+def repack_conv_kernel(w: jnp.ndarray, stride: int, fi: int, fo: int,
+                       in_segments=None):
+    """General packed-domain rewrite of a SAME conv kernel.
+
+    Input:  `w` of shape (k, k, cin, cout), k in {1, 3}, evaluated with
+    `stride` and SAME padding on the UNPACKED map. Returns
+    (w_packed, s_packed, pad) such that a conv of the fi-packed input
+    with `w_packed`, stride `s_packed`, padding `pad` produces the
+    fo-packed output exactly.
+
+    Derivation (rows; columns identical): output original row
+    R = fo*i + p (i = packed output row, p = output phase) reads input
+    original rows stride*R + d - k//2, d in [0, k). With stride*fo ==
+    s_packed*fi, the input packed row is s_packed*i + u_rel where
+    u_rel = floor((stride*p + d - k//2) / fi) and the input phase is
+    a = (stride*p + d - k//2) mod fi — each original tap (p, d) maps to
+    exactly one packed tap (u_rel, a), zero elsewhere.
+
+    `in_segments`: packed-input channel layout as [(phases_f, channels)]
+    segments in canonical channel order — e.g. [(2, 16), (2, 16)] for a
+    channel-concat of two 2-packed tensors. Default: one phase-major
+    segment [(fi, cin)]. Output layout is always phase-major.
+    """
+    k, k2, cin, cout = w.shape
+    assert k == k2 and k in (1, 3)
+    assert (stride * fo) % fi == 0, (stride, fi, fo)
+    s_packed = stride * fo // fi
+    if in_segments is None:
+        in_segments = [(fi, cin)]
+    assert sum(c for _, c in in_segments) == cin
+    assert all(f == fi for f, _ in in_segments), \
+        "mixed input pack factors are not supported"
+
+    offs = [0]
+    for f, c in in_segments:
+        offs.append(offs[-1] + f * f * c)
+
+    taps = {}  # (p, d) -> (u_rel, a)
+    u_min = u_max = 0
+    for p in range(fo):
+        for d in range(k):
+            c = stride * p + d - k // 2
+            u, a = c // fi, c % fi
+            taps[(p, d)] = (u, a)
+            u_min, u_max = min(u_min, u), max(u_max, u)
+    kp = u_max - u_min + 1
+    pad = (-u_min, kp - 1 + u_min) if s_packed == 1 else (-u_min, u_max)
+    # (for stride>1 SAME-consistency the high pad just needs to cover the
+    #  last window; (-u_min, u_max) does for the shapes used here — the
+    #  exactness tests pin it.)
+
+    cin_packed = offs[-1]
+    wp = jnp.zeros((kp, kp, cin_packed, fo * fo * cout), w.dtype)
+    for p in range(fo):
+        for q in range(fo):
+            for di in range(k):
+                u, a = taps[(p, di)]
+                for dj in range(k):
+                    v, b = taps[(q, dj)]
+                    col = (p * fo + q) * cout
+                    can0 = 0
+                    for si, (f, cs) in enumerate(in_segments):
+                        row = offs[si] + (a * f + b) * cs
+                        wp = wp.at[
+                            u - u_min, v - u_min,
+                            row:row + cs, col:col + cout,
+                        ].set(w[di, dj, can0:can0 + cs, :])
+                        can0 += cs
+    return wp, s_packed, pad
+
+
+class GPackedConvBNSiLU(nn.Module):
+    """ConvBNSiLU evaluated in packed domain for arbitrary (kernel,
+    stride, fi, fo). Parameter tree is IDENTICAL to `ConvBNSiLU` (conv/
+    {kernel, bias}, bn/{scale, bias} + batch_stats over the canonical
+    feature axis), so checkpoints are interchangeable with the unpacked
+    model. `in_segments` describes a channel-concat packed input layout
+    (see repack_conv_kernel); output is phase-major fo-packed (natural
+    when fo == 1)."""
+
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    packed_in: int = 2
+    packed_out: int = 2
+    use_bias: bool = False
+    in_segments: tuple | None = None
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        fi, fo = self.packed_in, self.packed_out
+        segs = (self.in_segments if self.in_segments is not None
+                else ((fi, x.shape[-1] // (fi * fi)),))
+        cin = sum(c for _, c in segs)
+        cout = self.features
+        fan_in = cin * self.kernel * self.kernel
+
+        conv = _ConvParams(cout, cin, self.use_bias, fan_in,
+                           kernel_size=self.kernel, name="conv")
+        kernel, bias = conv()
+        wp, s_packed, pad = repack_conv_kernel(
+            kernel, self.stride, fi, fo, in_segments=list(segs))
+        wp = wp.astype(self.dtype)
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), wp, (s_packed, s_packed), (pad, pad),
+            dimension_numbers=jax.lax.conv_dimension_numbers(
+                x.shape, wp.shape, ("NHWC", "HWIO", "NHWC")))
+        if bias is not None:
+            y = y + jnp.tile(bias, fo * fo).astype(self.dtype)
+        y = _PackedBN(cout, fo * fo, dtype=self.dtype, name="bn")(y, train)
+        return nn.silu(y)
+
+
+class PackedBottleneck(nn.Module):
+    """`Bottleneck` in fo-packed domain: residual add is exact under the
+    phase permutation. Param tree matches `Bottleneck` (conv1/conv2)."""
+
+    features: int
+    shortcut: bool = True
+    packed: int = 2
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        f = self.packed
+        cin = x.shape[-1] // (f * f)
+        y = GPackedConvBNSiLU(self.features, 3, 1, f, f, dtype=self.dtype,
+                              name="conv1")(x, train)
+        y = GPackedConvBNSiLU(self.features, 3, 1, f, f, dtype=self.dtype,
+                              name="conv2")(y, train)
+        return x + y if (self.shortcut and cin == self.features) else y
+
+
+class PackedC3(nn.Module):
+    """`C3` in packed domain. conv1/conv2 read the (possibly concat-
+    layout) input; their outputs are phase-major packed, concatenated
+    along channels, and conv3 consumes that two-segment layout directly —
+    no unpack/repack transposes anywhere. Param tree matches `C3`."""
+
+    features: int
+    n: int = 1
+    shortcut: bool = True
+    packed: int = 2
+    in_segments: tuple | None = None
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        f = self.packed
+        hidden = self.features // 2
+        segs = self.in_segments
+        x1 = GPackedConvBNSiLU(hidden, 1, 1, f, f, in_segments=segs,
+                               dtype=self.dtype, name="conv1")(x, train)
+        for i in range(self.n):
+            x1 = PackedBottleneck(hidden, self.shortcut, f, self.dtype,
+                                  name=f"bottleneck{i}")(x1, train)
+        x2 = GPackedConvBNSiLU(hidden, 1, 1, f, f, in_segments=segs,
+                               dtype=self.dtype, name="conv2")(x, train)
+        y = jnp.concatenate([x1, x2], axis=-1)
+        return GPackedConvBNSiLU(
+            self.features, 1, 1, f, f,
+            in_segments=((f, hidden), (f, hidden)),
+            dtype=self.dtype, name="conv3")(y, train)
+
+
 class PackedConvBNSiLU(nn.Module):
     """Drop-in ConvBNSiLU for a stride-2 3x3 conv, evaluated in packed
     domain. Input: fi-packed (B, H, W, fi*fi*cin); output: fo-packed
@@ -147,11 +313,13 @@ class _ConvParams(nn.Module):
     cin: int
     use_bias: bool
     fan_in: int
+    kernel_size: int = 3
 
     @nn.compact
     def __call__(self):
+        k = self.kernel_size
         kernel = self.param(
-            "kernel", torch_kernel_init, (3, 3, self.cin, self.features),
+            "kernel", torch_kernel_init, (k, k, self.cin, self.features),
             jnp.float32)
         bias = None
         if self.use_bias:

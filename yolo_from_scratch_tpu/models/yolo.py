@@ -99,6 +99,8 @@ class YOLO(nn.Module):
         if cfg.packed_stem:
             from yolo_from_scratch_tpu.models.packed import (
                 PACK_FACTOR,
+                GPackedConvBNSiLU,
+                PackedC3,
                 PackedConvBNSiLU,
                 pack_s2d,
             )
@@ -107,8 +109,15 @@ class YOLO(nn.Module):
                 x = pack_s2d(x, PACK_FACTOR)
             x = PackedConvBNSiLU(cfg.c_stem // 2, packed_in=4, use_bias=True,
                                  dtype=dt, name="stem0")(x, train)
-            x = PackedConvBNSiLU(cfg.c_stem, packed_in=2, use_bias=True,
-                                 dtype=dt, name="stem1")(x, train)
+            if cfg.packed_interior:
+                # stay 2x2-packed through the 160x160 stage: stem1 emits
+                # the packed map, C3a runs packed, bb_p3_down consumes it
+                x = GPackedConvBNSiLU(cfg.c_stem, 3, 2, packed_in=2,
+                                      packed_out=2, use_bias=True, dtype=dt,
+                                      name="stem1")(x, train)
+            else:
+                x = PackedConvBNSiLU(cfg.c_stem, packed_in=2, use_bias=True,
+                                     dtype=dt, name="stem1")(x, train)
         else:
             x = ConvBNSiLU(cfg.c_stem // 2, 3, 2, use_bias=True, dtype=dt,
                            name="stem0")(x, train)
@@ -116,10 +125,17 @@ class YOLO(nn.Module):
                            name="stem1")(x, train)
 
         # P3: stride 4 -> 8 (reference: train.py:406-410)
-        x = C3(cfg.c_stem, cfg.repeats(1), dtype=dt, name="bb_p3_c3a")(x, train)
-        x = ConvBNSiLU(cfg.c_p3, 3, 2, use_bias=True, dtype=dt, name="bb_p3_down")(
-            x, train
-        )
+        if cfg.packed_stem and cfg.packed_interior:
+            x = PackedC3(cfg.c_stem, cfg.repeats(1), dtype=dt,
+                         name="bb_p3_c3a")(x, train)
+            x = GPackedConvBNSiLU(cfg.c_p3, 3, 2, packed_in=2, packed_out=1,
+                                  use_bias=True, dtype=dt,
+                                  name="bb_p3_down")(x, train)
+        else:
+            x = C3(cfg.c_stem, cfg.repeats(1), dtype=dt, name="bb_p3_c3a")(
+                x, train)
+            x = ConvBNSiLU(cfg.c_p3, 3, 2, use_bias=True, dtype=dt,
+                           name="bb_p3_down")(x, train)
         p3_backbone = C3(cfg.c_p3, cfg.repeats(2), dtype=dt, name="bb_p3_c3b")(x, train)
 
         # P4: stride 8 -> 16 (reference: train.py:412-415)
