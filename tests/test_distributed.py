@@ -149,3 +149,55 @@ def test_init_distributed_rejects_partial_args():
     jax.devices()  # force backend init regardless of test ordering
     with pytest.raises(RuntimeError):
         init_distributed("127.0.0.1:9999", 2, 0)
+
+
+def test_global_eval_reduce_single_process_identity():
+    from yolo_from_scratch_tpu.parallel.distributed import global_eval_reduce
+
+    assert global_eval_reduce(3, 4, 5, 1.25, 7) == (3, 4, 5, 1.25, 7)
+
+
+def test_sharded_eval_counts_sum_to_global(temp_dataset_multiclass):
+    """The multi-host eval contract: each process counts its wrap-padded
+    loader shard (_eval_counts), the five scalars are summed
+    (global_eval_reduce math), and the result equals the unsharded
+    single-process eval — here simulated with pc=2 shard loaders on one
+    process, where the 4-image dataset divides evenly so equality is
+    exact."""
+    from yolo_from_scratch_tpu.config import YoloConfig
+    from yolo_from_scratch_tpu.data.dataset import YoloDataset
+    from yolo_from_scratch_tpu.train.loop import _eval_counts, eval_epoch
+    from yolo_from_scratch_tpu.train.metrics import prf1
+    from yolo_from_scratch_tpu.train.steps import (
+        create_train_state,
+        make_eval_step,
+    )
+
+    cfg = YoloConfig(num_classes=3, img_size=64, width_mult=0.25,
+                     depth_mult=0.33)
+    model, _, state = create_train_state(jax.random.PRNGKey(0), cfg, 1e-3,
+                                         batch_size=1)
+    eval_step = make_eval_step(model, cfg)
+    # 4 images: pc=2 divides the dataset, so no wrap-pad duplicates and
+    # the sharded-vs-global equality is exact
+    ds = YoloDataset(str(temp_dataset_multiclass / "train" / "images"),
+                     cfg.num_classes, cfg.anchors_array, cfg.img_size)
+
+    # batch_size=1: per-batch loss is then per-image, so the mean over
+    # batch losses is partition-invariant and the equality is exact (at
+    # batch>1 the masked per-batch means depend on batch composition,
+    # which sharding changes — same effect for the unsharded loader)
+    mk = lambda shard: DataLoader(ds, batch_size=1, shuffle=False,
+                                  prefetch=0, process_shard=shard)
+    # unsharded reference
+    loss_g, p_g, r_g, f1_g = eval_epoch(
+        eval_step, state.params, state.batch_stats, mk(None))
+    # two simulated process shards, summed like global_eval_reduce does
+    tot = np.zeros(5)
+    for pi in range(2):
+        losses, tp, fp, fn = _eval_counts(
+            eval_step, state.params, state.batch_stats, mk((pi, 2)))
+        tot += [tp, fp, fn, float(np.sum(losses)), len(losses)]
+    p, r, f1 = prf1(int(tot[0]), int(tot[1]), int(tot[2]))
+    assert (p, r, f1) == (p_g, r_g, f1_g)
+    assert abs(tot[3] / tot[4] - loss_g) < 1e-6

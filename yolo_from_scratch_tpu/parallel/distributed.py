@@ -96,3 +96,27 @@ def make_global_batch(mesh, local_images: np.ndarray, local_targets):
 
 def global_batch_size(local_batch: int) -> int:
     return local_batch * jax.process_count()
+
+
+def global_eval_reduce(tps: int, fps: int, fns: int,
+                       loss_sum: float, n_batches: int):
+    """Sum per-process eval counts across every process so each host can
+    print GLOBAL P/R/F1 and loss — matching the reference's by-definition
+    global single-process eval (reference: train.py:960-1032). With one
+    process this is the identity. Collective: every process must call it.
+
+    Uses process_allgather (a tiny all-gather over the global device set,
+    DCN-routed across hosts) rather than hand-rolled RPC — the values are
+    five scalars, so latency, not bandwidth, bounds it.
+    """
+    if jax.process_count() == 1:
+        return tps, fps, fns, loss_sum, n_batches
+    from jax.experimental import multihost_utils
+
+    local = np.asarray(
+        [float(tps), float(fps), float(fns), float(loss_sum),
+         float(n_batches)], np.float64)
+    gathered = np.asarray(multihost_utils.process_allgather(local))
+    tot = gathered.sum(axis=0)
+    return (int(tot[0]), int(tot[1]), int(tot[2]), float(tot[3]),
+            int(tot[4]))

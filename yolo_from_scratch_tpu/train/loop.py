@@ -45,18 +45,10 @@ def train_epoch(train_step, state, loader, mesh=None):
     return state, mean("loss"), mean("bbox"), mean("obj"), mean("cls"), n_images, dt
 
 
-def eval_epoch(eval_step, params, batch_stats, loader, mesh=None):
-    """Loss + grid-aligned P/R/F1 over a loader
-    (reference: train.py:960-1032). Returns (loss, P%, R%, F1%).
-
-    Multi-host: evaluation runs LOCALLY on each process (mesh ignored) —
-    the per-image tp/fp/fn vectors of a cross-host global batch are not
-    addressable from any single process, and the local `valid` count
-    could not mask a global batch anyway. Each process evaluates
-    whatever its loader yields (its shard during `fit`; metrics are then
-    per-shard estimates, exact when the loader is unsharded)."""
-    if mesh is not None and jax.process_count() > 1:
-        mesh = None
+def _eval_counts(eval_step, params, batch_stats, loader, mesh=None):
+    """Per-loader eval accumulation: ([batch losses], tp, fp, fn). The
+    per-process piece of `eval_epoch` — what each host computes on its
+    shard before the cross-process sum."""
     # place params once — callers may pass raw numpy checkpoint arrays,
     # which would otherwise re-upload the full model every batch
     if mesh is not None and mesh.size > 1:
@@ -82,7 +74,39 @@ def eval_epoch(eval_step, params, batch_stats, loader, mesh=None):
         tps += int(tp[:valid].sum())
         fps += int(fp[:valid].sum())
         fns += int(fn[:valid].sum())
-    avg_loss = float(np.mean(losses)) if losses else 0.0
+    return losses, tps, fps, fns
+
+
+def eval_epoch(eval_step, params, batch_stats, loader, mesh=None):
+    """Loss + grid-aligned P/R/F1 over a loader
+    (reference: train.py:960-1032). Returns (loss, P%, R%, F1%).
+
+    Multi-host: the counting runs LOCALLY on each process (mesh ignored)
+    — the per-image tp/fp/fn vectors of a cross-host global batch are
+    not addressable from any single process, and the local `valid` count
+    could not mask a global batch anyway. Each process counts its own
+    loader shard, then the five scalars are summed across processes
+    (parallel.distributed.global_eval_reduce), so the returned P/R/F1
+    and loss are GLOBAL — matching the reference's single-process eval
+    exactly when the shards partition the dataset (when process_count
+    does not divide the dataset size, the wrap-padded shard rule counts
+    up to process_count-1 duplicate images, the standard distributed-
+    sampler approximation)."""
+    multihost = mesh is not None and jax.process_count() > 1
+    if multihost:
+        mesh = None
+    losses, tps, fps, fns = _eval_counts(
+        eval_step, params, batch_stats, loader, mesh)
+    if multihost:
+        from yolo_from_scratch_tpu.parallel.distributed import (
+            global_eval_reduce,
+        )
+
+        tps, fps, fns, loss_sum, n_batches = global_eval_reduce(
+            tps, fps, fns, float(np.sum(losses)), len(losses))
+        avg_loss = loss_sum / n_batches if n_batches else 0.0
+    else:
+        avg_loss = float(np.mean(losses)) if losses else 0.0
     p, r, f1 = prf1(tps, fps, fns)
     return avg_loss, p, r, f1
 
