@@ -51,3 +51,71 @@ def test_batch_predict_mixed_sizes(cfg, model_and_vars, tmp_path):
     for dets in out:
         for d in dets:
             assert abs(d[0]) < 10000 and abs(d[3]) < 10000
+
+
+def test_dense_scene_nms_capacity_1280():
+    """Capacity plan under candidate overload (VERDICT r2 #4): at 1280^2
+    the raw prediction count is 100,800 but the static NMS prefilter
+    admits default_topk = 4096. The reference's batched_nms sees EVERY
+    above-threshold box (reference: train.py:1225-1233); this pins the
+    framework's guarantee when more than 4096 candidates pass the
+    confidence gate: the prefilter keeps the HIGHEST-scored candidates,
+    so real detections (which outscore the background chatter that
+    floods the gate) survive.
+
+    Constructed worst case: every P3 cell fires above threshold (76,800
+    candidates, 18.8x capacity) at obj~0.73 while 100 planted objects
+    fire at obj~0.998 on a sparse lattice. All 100 planted detections
+    must come back, at their exact cell centers."""
+    import jax
+    import jax.numpy as jnp
+
+    from yolo_from_scratch_tpu.config import YoloConfig
+    from yolo_from_scratch_tpu.infer.predict import (
+        default_topk,
+        make_postprocess,
+    )
+
+    cfg = YoloConfig(num_classes=2, img_size=1280)
+    g3 = 1280 // 8
+    assert default_topk(1280) == 4096
+
+    obj_bg, obj_hit, cls_fg = 1.0, 6.0, 4.0
+    p3 = np.zeros((1, g3, g3, 3, 7), np.float32)
+    p3[..., 4] = obj_bg          # every P3 anchor passes conf 0.5
+    p3[..., 5] = cls_fg          # class 0 dominant
+    p3[..., 6] = -cls_fg
+    # 100 planted objects on a 10x10 lattice, anchor 0, box at the cell
+    # center with anchor-sized wh (tx=ty=tw=th=0 decodes to exactly that)
+    lat = np.arange(8, 160, 16)[:10]
+    for i in lat:
+        for j in lat:
+            p3[0, i, j, 0, 4] = obj_hit
+    n_above = int((1 / (1 + np.exp(-p3[..., 4])) > 0.5).sum())
+    assert n_above == 76800 > 4096  # the gate is genuinely flooded
+
+    def fake_forward(variables, img):
+        return [
+            jnp.asarray(p3),
+            jnp.full((1, 80, 80, 3, 7), -10.0, jnp.float32),
+            jnp.full((1, 40, 40, 3, 7), -10.0, jnp.float32),
+        ]
+
+    post = make_postprocess(None, cfg, conf_threshold=0.5,
+                            max_outputs=150, use_pallas_nms=False,
+                            apply_fn=fake_forward)
+    boxes, scores, classes, valid = jax.device_get(post(
+        {}, jnp.zeros((1, 1280, 1280, 3), jnp.float32),
+        jnp.float32(1.0), jnp.float32(0.0), jnp.float32(0.0)))
+    kept = boxes[valid.astype(bool)]
+    kept_scores = scores[valid.astype(bool)]
+
+    hit_score = 1 / (1 + np.exp(-obj_hit)) * 1 / (1 + np.exp(-cls_fg))
+    planted = kept_scores > hit_score - 1e-3
+    assert planted.sum() == 100, planted.sum()
+    # every planted detection is at its cell center (scale 1, no pad)
+    centers = {(round((j + 0.5) * 8), round((i + 0.5) * 8))
+               for i in lat for j in lat}
+    got = {(round(float((b[0] + b[2]) / 2)), round(float((b[1] + b[3]) / 2)))
+           for b in kept[planted]}
+    assert got == centers
