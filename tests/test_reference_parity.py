@@ -262,3 +262,134 @@ def test_eval_metric_parity(ref, torch):
                     elif to > 0.5:
                         FN += 1
     assert (int(tp), int(fp), int(fn)) == (TP, FP, FN)
+
+
+# ---------------------------------------------------------------------------
+# Fuzz sweep (VERDICT r2 #8): the fixed-seed single cases above pin the
+# operators at 640/nc<=3; these sweep img_size x nc x seed (and the quirk
+# flag where the reference has an analogue) so resolution- or
+# class-count-dependent divergence can't hide.
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("img_size", [416, 640, 1280])
+@pytest.mark.parametrize("nc", [1, 80])
+def test_decode_parity_fuzz(ref, torch, img_size, nc):
+    import jax.numpy as jnp
+
+    from yolo_from_scratch_tpu.ops.decode import decode_predictions
+
+    rng = np.random.default_rng(img_size * 131 + nc)
+    g = img_size // 32
+    raw = rng.normal(0, 2, (2, g, g, 3, 5 + nc)).astype(np.float32)
+    ours = np.asarray(decode_predictions(
+        jnp.asarray(raw), jnp.asarray(ANCHORS_P3), img_size))
+    theirs = ref.decode_predictions(
+        torch.from_numpy(raw), torch.tensor(ANCHORS_P3), img_size).numpy()
+    np.testing.assert_allclose(ours, theirs, atol=2e-6)
+
+
+@pytest.mark.parametrize("img_size", [416, 1280])
+@pytest.mark.parametrize("nc", [1, 80])
+def test_single_scale_loss_parity_fuzz(ref, torch, img_size, nc):
+    """The reference loss decodes at 640 REGARDLESS of the true train
+    resolution (train.py:796 — the SURVEY §3.6 quirk), so the parity
+    comparison is our quirk path; quirk-off behavior is pinned separately
+    below."""
+    import jax.numpy as jnp
+
+    from yolo_from_scratch_tpu.ops.losses import yolo_loss
+
+    rng = np.random.default_rng(img_size * 17 + nc)
+    g = img_size // 64
+    pred, tgt = _random_pred_target(rng, g, nc, n_obj=7)
+    ours = yolo_loss(jnp.asarray(pred), jnp.asarray(tgt),
+                     jnp.asarray(ANCHORS_P3), nc, 640)
+    theirs = ref.yolo_loss(torch.from_numpy(pred), torch.from_numpy(tgt),
+                           torch.tensor(ANCHORS_P3), nc)
+    for o, t in zip(ours, theirs):
+        assert float(o) == pytest.approx(float(t), rel=1e-4, abs=1e-6)
+
+
+@pytest.mark.parametrize("nc", [1, 80])
+def test_multiscale_loss_parity_fuzz(ref, torch, nc):
+    import jax.numpy as jnp
+
+    from yolo_from_scratch_tpu.config import DEFAULT_ANCHORS
+    from yolo_from_scratch_tpu.ops.losses import yolo_loss_multiscale
+
+    rng = np.random.default_rng(23 + nc)
+    preds, tgts = [], []
+    for g in (20, 10, 5):
+        p, t = _random_pred_target(rng, g, nc, n_obj=4)
+        preds.append(p)
+        tgts.append(t)
+    anchors = np.asarray(DEFAULT_ANCHORS, np.float32)
+    ours = yolo_loss_multiscale(
+        [jnp.asarray(p) for p in preds], [jnp.asarray(t) for t in tgts],
+        anchors, nc, 640, quirk_640=True)
+    theirs = ref.yolo_loss_multiscale(
+        [torch.from_numpy(p) for p in preds],
+        [torch.from_numpy(t) for t in tgts],
+        [torch.from_numpy(a) for a in anchors], nc)
+    for o, t in zip(ours, theirs):
+        assert float(o) == pytest.approx(float(t), rel=1e-4, abs=1e-6)
+
+
+def test_loss_quirk_flag_semantics():
+    """quirk_640 off == on at 640 (the quirk is only observable away from
+    640); away from 640 the two paths genuinely differ, and quirk-on
+    ignores img_size entirely — exactly the reference's behavior."""
+    import jax.numpy as jnp
+
+    from yolo_from_scratch_tpu.config import DEFAULT_ANCHORS
+    from yolo_from_scratch_tpu.ops.losses import yolo_loss_multiscale
+
+    rng = np.random.default_rng(9)
+    preds, tgts = [], []
+    for g in (16, 8, 4):
+        p, t = _random_pred_target(rng, g, 1, n_obj=4)
+        preds.append(jnp.asarray(p))
+        tgts.append(jnp.asarray(t))
+    anchors = np.asarray(DEFAULT_ANCHORS, np.float32)
+    loss = lambda size, quirk: float(yolo_loss_multiscale(
+        preds, tgts, anchors, 1, size, quirk_640=quirk)[0])
+    assert loss(640, True) == pytest.approx(loss(640, False), rel=1e-6)
+    # quirk on ignores img_size entirely: identical to the 640 value
+    assert loss(1280, True) == pytest.approx(loss(640, True), rel=1e-6)
+    assert abs(loss(1280, False) - loss(1280, True)) > 1e-5
+
+
+@pytest.mark.parametrize("img_size,nc", [(416, 1), (640, 80), (1280, 3)])
+def test_target_assignment_parity_fuzz(ref, tmp_path, img_size, nc):
+    """Same image + labels through both datasets at every resolution and
+    class count -> identical dense targets at all three scales."""
+    from PIL import Image
+
+    from yolo_from_scratch_tpu.data.dataset import YoloDataset
+
+    rng = np.random.default_rng(img_size + nc)
+    d = tmp_path / f"{img_size}_{nc}"
+    (d / "images").mkdir(parents=True)
+    (d / "labels").mkdir()
+    arr = (rng.random((img_size // 2, img_size, 3)) * 255).astype(np.uint8)
+    Image.fromarray(arr).save(d / "images" / "x.png")
+    lines = []
+    for _ in range(8):
+        w, h = rng.uniform(0.03, 0.5, 2)
+        cx = rng.uniform(w / 2, 1 - w / 2)
+        cy = rng.uniform(h / 2, 1 - h / 2)
+        lines.append(f"{int(rng.integers(0, nc))} {cx:.6f} {cy:.6f} "
+                     f"{w:.6f} {h:.6f}")
+    (d / "labels" / "x.txt").write_text("\n".join(lines))
+
+    ours_ds = YoloDataset(str(d / "images"), num_classes=nc,
+                          img_size=img_size, backend="pil")
+    img_o, tgts_o = ours_ds[0]
+    ref_ds = ref.YOLODataset(str(d / "images"), num_classes=nc,
+                             img_size=img_size)
+    img_r, tgts_r = ref_ds[0]
+    np.testing.assert_allclose(
+        img_o, img_r.permute(1, 2, 0).numpy(), atol=1e-6)
+    for o, r in zip(tgts_o, tgts_r):
+        np.testing.assert_allclose(o, r.numpy(), atol=1e-6)
