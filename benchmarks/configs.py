@@ -72,6 +72,7 @@ def run(spec, lr=5e-3, batch=8, stage="all", augment=False, mosaic=False):
             root, spec["n_train"], spec["n_val"], spec["img_size"], seed=0,
             num_classes=spec["num_classes"], n_min=spec["n_min"],
             n_max=spec["n_max"], box_range=spec["box_range"],
+            class_mode=spec.get("class_mode", "color"),
         )
     anchors = None
     if spec["kmeans"]:
@@ -208,12 +209,19 @@ if __name__ == "__main__":
         elif a in ("--n-train", "--n-val", "--epochs"):
             overrides[a[2:].replace("-", "_")] = int(args[i + 1])
             i += 1
+        elif a == "--class-mode":
+            # "shape": class identity is shape x texture with random
+            # per-instance color (utils/synth.py) — the de-saturated
+            # regime where photometric aug is label-preserving
+            overrides["class_mode"] = args[i + 1]
+            i += 1
         elif a.startswith("-"):
             # fail fast: an unrecognized flag must not be silently taken
             # for a config key (it would crash only AFTER training)
             raise SystemExit(f"unknown flag {a!r} (have: --train-only "
                              f"--eval-only --augment --augment-flip "
-                             f"--mosaic --n-train N --n-val N --epochs N)")
+                             f"--mosaic --n-train N --n-val N --epochs N "
+                             f"--class-mode color|shape)")
         elif a not in CONFIGS:
             raise SystemExit(f"unknown config {a!r} "
                              f"(have: {sorted(CONFIGS)})")
@@ -225,4 +233,6 @@ if __name__ == "__main__":
                     **overrides)
         if overrides:  # a different regime must not reuse the cached set
             spec["name"] += "_n{}".format(spec["n_train"])
+            if spec.get("class_mode") == "shape":
+                spec["name"] += "_shape"
         run(spec, stage=stage, augment=augment, mosaic=mosaic)

@@ -37,6 +37,9 @@ def main():
     ap.add_argument("--packed-stem", action="store_true")
     ap.add_argument("--int8", action="store_true",
                     help="additionally time the int8 PTQ path")
+    ap.add_argument("--packed-interior", action="store_true",
+                    help="extend packing through the first C3 stage "
+                         "(models/packed.py; implies --packed-stem)")
     ap.add_argument("--size", default="s", choices=["n", "s", "m", "l", "x"])
     ap.add_argument("--mxu-only", action="store_true",
                     help="with --int8: quantize only the MXU-bound 3x3 "
@@ -51,7 +54,9 @@ def main():
     from yolo_from_scratch_tpu.config import YOLO_SIZES
 
     cfg = YoloConfig(num_classes=1, img_size=a.img_size,
-                     compute_dtype="bfloat16", packed_stem=a.packed_stem,
+                     compute_dtype="bfloat16",
+                     packed_stem=a.packed_stem or a.packed_interior,
+                     packed_interior=a.packed_interior,
                      **YOLO_SIZES[a.size])
     model = YOLO(cfg)
     rng = np.random.default_rng(0)
@@ -72,7 +77,8 @@ def main():
 
     k = a.topk or default_topk(cfg.img_size)
     log(f"backend: {jax.devices()[0]}  B={a.batch} @{a.img_size} "
-        f"packed={a.packed_stem} topk={k}")
+        f"packed={cfg.packed_stem} interior={cfg.packed_interior} "
+        f"topk={k}")
 
     # stage 1: forward only
     def fwd(x):
