@@ -64,8 +64,12 @@ def run(spec, lr=5e-3, batch=8, stage="all", augment=False, mosaic=False):
         from yolo_from_scratch_tpu.utils.checkpoint import load_checkpoint
 
         variables, cfg, _ = load_checkpoint(ckpt)
-        return _eval(spec, cfg, variables, root,
-                     train_ips=None)
+        # the train stage persisted its throughput so the recorded result
+        # row is a self-contained measurement (train + eval of one run)
+        ips_file = Path(root) / "train_ips.json"
+        train_ips = (json.loads(ips_file.read_text())["train_img_s"]
+                     if ips_file.exists() else None)
+        return _eval(spec, cfg, variables, root, train_ips=train_ips)
     yaml_path = Path(root) / "data.yaml"
     if not yaml_path.exists():  # reuse across train/eval stages and retries
         yaml_path = make_dataset(
@@ -154,6 +158,8 @@ def run(spec, lr=5e-3, batch=8, stage="all", augment=False, mosaic=False):
                  "batch_stats": jax.device_get(state.batch_stats)}
     save_checkpoint(ckpt, variables, cfg, epoch=spec["epochs"] - 1)
     print(f"train_img_s: {train_ips:.1f} (ckpt -> {ckpt})", flush=True)
+    (Path(root) / "train_ips.json").write_text(
+        json.dumps({"train_img_s": round(train_ips, 1)}))
     if stage == "train":
         return {"train_img_s": round(train_ips, 1)}
     return _eval(spec, cfg, variables, root, train_ips)
