@@ -415,3 +415,79 @@ def test_af_grid_metric_ignores_dfl_logits():
         jnp.asarray(pred), jnp.asarray(target), stride, img)
     assert int(tp) + int(fp) + int(fn) >= 1
     assert int(fp) <= 1  # only the one hot cell can be a predicted positive
+
+
+def test_af_device_assignment_matches_host():
+    """assign_targets_anchor_free_device == the host assignment on the
+    same valid labels: same size-routed scale, truncating cell index,
+    first-GT-wins collisions, padding rows ignored."""
+    from yolo_from_scratch_tpu.data.assign_device import pack_labels
+    from yolo_from_scratch_tpu.models.anchor_free import (
+        assign_targets_anchor_free_device_batch,
+    )
+
+    nc, img = 5, 128
+    rng = np.random.default_rng(3)
+    b, k = 4, 8
+    boxes, cls_ids = [], []
+    for i in range(b):
+        n = int(rng.integers(1, k))
+        bx = np.stack([
+            rng.uniform(0.05, 0.95, n), rng.uniform(0.05, 0.95, n),
+            rng.uniform(0.02, 0.5, n), rng.uniform(0.02, 0.5, n),
+        ], axis=1).astype(np.float32)
+        if n >= 2:  # force a same-cell collision: first GT must win
+            bx[1, :2] = bx[0, :2]
+            bx[1, 2:] = bx[0, 2:]
+        boxes.append(bx)
+        cls_ids.append(rng.integers(0, nc, n))
+
+    labels, counts = pack_labels(boxes, cls_ids, k)
+    dev = assign_targets_anchor_free_device_batch(
+        jnp.asarray(labels), jnp.asarray(counts), img, nc)
+    for i in range(b):
+        host = assign_targets_anchor_free(boxes[i], cls_ids[i], img, nc)
+        for s in range(3):
+            np.testing.assert_array_equal(np.asarray(dev[s][i]), host[s])
+
+
+def test_af_compact_eval_step_matches_dense(cfg_af, model_vars_af):
+    """make_eval_step(compact_targets=True) on the anchor-free head
+    produces the same grid TP/FP/FN as the dense val path on identical
+    images + GTs (the loss may differ: from_gt vs dense-transport keeps
+    colliding GTs)."""
+    from yolo_from_scratch_tpu.data.assign_device import pack_labels
+    from yolo_from_scratch_tpu.train.steps import make_eval_step
+
+    model, variables = model_vars_af
+    nc, img = cfg_af.num_classes, cfg_af.img_size
+    rng = np.random.default_rng(4)
+    b = 2
+    imgs_u8 = rng.integers(0, 256, (b, img, img, 3)).astype(np.uint8)
+    imgs_f32 = imgs_u8.astype(np.float32) / 255.0
+    boxes = [np.array([[0.4, 0.4, 0.2, 0.25], [0.7, 0.7, 0.08, 0.08]],
+                      np.float32)] * b
+    cls_ids = [np.array([1, 2])] * b
+
+    dense = [
+        jnp.asarray(np.stack([
+            assign_targets_anchor_free(bx, ci, img, nc)[s]
+            for bx, ci in zip(boxes, cls_ids)
+        ]))
+        for s in range(3)
+    ]
+    step_dense = make_eval_step(model, cfg_af)
+    l_d, tp_d, fp_d, fn_d = step_dense(
+        variables["params"], variables["batch_stats"],
+        jnp.asarray(imgs_f32), dense)
+
+    labels, counts = pack_labels(boxes, cls_ids, 8)
+    step_c = make_eval_step(model, cfg_af, compact_targets=True)
+    l_c, tp_c, fp_c, fn_c = step_c(
+        variables["params"], variables["batch_stats"],
+        jnp.asarray(imgs_u8), (jnp.asarray(labels), jnp.asarray(counts)))
+
+    np.testing.assert_array_equal(np.asarray(tp_d), np.asarray(tp_c))
+    np.testing.assert_array_equal(np.asarray(fp_d), np.asarray(fp_c))
+    np.testing.assert_array_equal(np.asarray(fn_d), np.asarray(fn_c))
+    assert np.isfinite(float(l_c))

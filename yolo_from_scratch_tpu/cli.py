@@ -618,10 +618,10 @@ def main(argv=None):
                 pack_images=cfg.packed_stem, process_shard=shard,
                 compact=args.compact_targets,
             )
-            # eval's grid metrics need dense per-cell maps for the
-            # anchor-free head, so val streams compact only for anchor
-            val_compact = (args.compact_targets
-                           if cfg.head_type == "anchor" else 0)
+            # both heads rebuild eval targets on-device from compact
+            # labels (anchor: data/assign_device.py; anchor-free:
+            # models/anchor_free.assign_targets_anchor_free_device)
+            val_compact = args.compact_targets
             val_loader = DataLoader(
                 YoloDataset(config["val"], cfg.num_classes, anchors,
                             cfg.img_size, head_type=cfg.head_type),

@@ -164,6 +164,70 @@ def assign_targets_anchor_free(boxes: np.ndarray, class_ids: np.ndarray,
     return targets
 
 
+def assign_targets_anchor_free_device(labels, count, img_size: int,
+                                       num_classes: int):
+    """Jittable `assign_targets_anchor_free` from compact labels.
+
+    Args:
+        labels: (K, 5) float32 [class, cx, cy, w, h]; rows >= count are
+            padding.
+        count: () int32 valid-row count.
+
+    Returns [(gs, gs, 4+1+nc)] x3 — identical to the host assignment on
+    the same valid labels (same size-routed scale choice, truncating
+    cell index, first-GT-wins rule in row order). Lets the compact val
+    loader serve the anchor-free grid metric without dense transport
+    from the host (the TAL LOSS never needs these maps — see
+    yolo_loss_anchor_free_from_gt)."""
+    from yolo_from_scratch_tpu.config import STRIDES
+
+    k = labels.shape[0]
+    grid_sizes = [img_size // s for s in STRIDES]
+    boxes = labels[:, 1:5]
+    cls_ids = labels[:, 0].astype(jnp.int32)
+    valid = jnp.arange(k) < count
+
+    size = jnp.maximum(boxes[:, 2], boxes[:, 3])
+    scale = jnp.where(
+        size <= AF_SCALE_THRESHOLDS[0], 0,
+        jnp.where(size <= AF_SCALE_THRESHOLDS[1], 1, 2),
+    )
+    # guarded one-hot (host indexing would fault on out-of-range ids;
+    # clamp-and-zero like the anchor path's assign_device)
+    onehot = jnp.zeros((k, num_classes), jnp.float32).at[
+        jnp.arange(k), jnp.clip(cls_ids, 0, num_classes - 1)
+    ].set(jnp.where((cls_ids >= 0) & (cls_ids < num_classes), 1.0, 0.0))
+    rows = jnp.concatenate(
+        [boxes, jnp.ones((k, 1), jnp.float32), onehot], axis=1
+    )
+
+    order = jnp.arange(k)
+    targets = []
+    for s, gs in enumerate(grid_sizes):
+        dummy = gs * gs
+        gx = jnp.clip((boxes[:, 0] * gs).astype(jnp.int32), 0, gs - 1)
+        gy = jnp.clip((boxes[:, 1] * gs).astype(jnp.int32), 0, gs - 1)
+        mine = valid & (scale == s)
+        slot = jnp.where(mine, gy * gs + gx, dummy)
+        # first-wins: an earlier valid box on the same live slot evicts
+        # mine (padding rows all share the dummy slot, which is never a
+        # live slot, so they can't cross-match)
+        clash = (slot[None, :] == slot[:, None]) & (order[None, :] <
+                                                    order[:, None])
+        winner = mine & ~jnp.any(clash, axis=1)
+        idx = jnp.where(winner, slot, dummy)
+        flat = jnp.zeros((dummy + 1, 5 + num_classes), jnp.float32
+                         ).at[idx].set(rows)
+        targets.append(flat[:-1].reshape(gs, gs, 5 + num_classes))
+    return targets
+
+
+assign_targets_anchor_free_device_batch = jax.vmap(
+    assign_targets_anchor_free_device, in_axes=(0, 0, None, None),
+    out_axes=0,
+)
+
+
 def _anchor_points(img_size):
     """Normalized cell centers + per-cell stride over all scales, flattened:
     (A, 2) points, (A,) strides (pixels)."""

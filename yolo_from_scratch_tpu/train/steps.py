@@ -491,16 +491,14 @@ def make_eval_step(model: YOLO, cfg: YoloConfig, conf_threshold=0.5,
     """
 
     anchors = cfg.anchors_array
-    if compact_targets and cfg.head_type == "anchor_free":
-        # the grid-aligned metric counters need the dense per-cell maps
-        raise ValueError("compact eval targets support the anchor head "
-                         "only (anchor-free metrics count dense cells)")
     expand = _make_expand(cfg, compact_targets)
 
     if cfg.head_type == "anchor_free":
         from yolo_from_scratch_tpu.config import STRIDES
         from yolo_from_scratch_tpu.models.anchor_free import (
+            assign_targets_anchor_free_device_batch,
             yolo_loss_anchor_free,
+            yolo_loss_anchor_free_from_gt,
         )
         from yolo_from_scratch_tpu.train.metrics import (
             grid_metric_counts_anchor_free,
@@ -508,13 +506,40 @@ def make_eval_step(model: YOLO, cfg: YoloConfig, conf_threshold=0.5,
 
         @jax.jit
         def eval_step_af(params, batch_stats, images, targets):
-            preds = model.apply(
-                {"params": params, "batch_stats": batch_stats}, images,
-                train=False,
-            )
-            loss, _, _ = yolo_loss_anchor_free(
-                preds, targets, cfg.num_classes, cfg.img_size
-            )
+            if compact_targets:
+                # compact val batches: uint8 images + (labels, counts).
+                # Loss goes straight from the GT list (TAL needs no dense
+                # maps); the grid metric's dense transport is rebuilt
+                # on-device — identical to the host assignment.
+                labels, counts = targets
+                if images.dtype == jnp.uint8:
+                    images = images.astype(jnp.float32) / 255.0
+                preds = model.apply(
+                    {"params": params, "batch_stats": batch_stats},
+                    images, train=False,
+                )
+                k = labels.shape[1]
+                valid = (jnp.arange(k)[None, :] < counts[:, None]
+                         ).astype(jnp.float32)
+                cls_ids = jnp.clip(labels[..., 0].astype(jnp.int32), 0,
+                                   cfg.num_classes - 1)
+                gt_cls = (jax.nn.one_hot(cls_ids, cfg.num_classes)
+                          * valid[..., None])
+                loss, _, _ = yolo_loss_anchor_free_from_gt(
+                    preds, labels[..., 1:5], gt_cls, valid,
+                    cfg.num_classes, cfg.img_size,
+                )
+                targets = assign_targets_anchor_free_device_batch(
+                    labels, counts, cfg.img_size, cfg.num_classes
+                )
+            else:
+                preds = model.apply(
+                    {"params": params, "batch_stats": batch_stats},
+                    images, train=False,
+                )
+                loss, _, _ = yolo_loss_anchor_free(
+                    preds, targets, cfg.num_classes, cfg.img_size
+                )
             b = images.shape[0]
             tp = fp = fn = jnp.zeros((b,), jnp.int32)
             for pred, tgt, stride in zip(preds, targets, STRIDES):
