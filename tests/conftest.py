@@ -37,6 +37,63 @@ from yolo_from_scratch_tpu.config import YoloConfig
 TEST_IMG_SIZE = 128
 TEST_BATCH = 2
 
+# ---------------------------------------------------------------------------
+# Quick tier: tests measured >=15s call time on the 1-core host (compile-
+# dominated) carry the `slow` marker; `pytest -m "not slow"` runs the rest
+# in ~10 min instead of ~44. Regenerate after big suite changes with
+#   python -m pytest tests/ -q --durations=0 2>&1 \
+#     | awk '$1+0>=15 && $2=="call" {print $3}' | sed 's/\[.*\]//' | sort -u
+# (parametrized cases inherit the base id's marker).
+# ---------------------------------------------------------------------------
+SLOW_TESTS = {
+    "tests/test_anchor_free.py::test_af_compact_train_step_runs",
+    "tests/test_anchor_free.py::test_loss_finite_and_grads",
+    "tests/test_anchor_free.py::test_train_step_anchor_free",
+    "tests/test_assign_device.py::test_compact_trainer_matches_dense",
+    "tests/test_assign_device.py::test_streaming_compact_path_on_2d_mesh",
+    "tests/test_augment_device.py::test_train_step_with_device_augment",
+    "tests/test_cli.py::test_compact_mosaic_flag_guards",
+    "tests/test_cli.py::test_compact_targets_train_with_mosaic",
+    "tests/test_cli.py::test_packed_stem_train_eval_roundtrip",
+    "tests/test_configs.py::test_jit_vs_eager_loss_parity",
+    "tests/test_convergence.py::test_model_learns_to_detect",
+    "tests/test_ema.py::test_ema_inside_jit_with_train_step",
+    "tests/test_ema.py::test_fit_with_ema_saves_averaged_params",
+    "tests/test_export.py::test_artifact_matches_live_predictor",
+    "tests/test_export.py::test_int8_artifact_roundtrip",
+    "tests/test_grad_accum.py::test_accum_grads_match_big_batch",
+    "tests/test_grad_accum.py::test_accum_step_counts_once",
+    "tests/test_loss.py::test_loss_gradients_flow_through_all_channels",
+    "tests/test_model.py::test_bfloat16_compute_path",
+    "tests/test_mosaic_device.py::test_mosaic_train_step_runs",
+    "tests/test_multiscale.py::test_multi_scale_fit_covers_buckets",
+    "tests/test_multistep.py::test_multi_step_matches_sequential",
+    "tests/test_packed_interior.py::test_gradients_match",
+    "tests/test_packed_stem.py::test_packed_predictor_matches",
+    "tests/test_quantize.py::test_percentile_calibration_smaller_scales",
+    "tests/test_quantize.py::test_quant_apply_per_conv_error_bounded",
+    "tests/test_resume.py::test_resumed_step_matches_uninterrupted",
+    "tests/test_sharding.py::test_gradients_2d_spatial_sharding_match",
+    "tests/test_sparse_loss.py::test_compact_trainer_sparse_matches_dense",
+    "tests/test_sharding.py::test_gradients_sharded_match_single_device",
+    "tests/test_sharding.py::test_train_step_sharded_matches_single_device",
+    "tests/test_stream.py::TestChunkStream::test_sharded_placement_matches_single_device",
+    "tests/test_stream.py::TestChunkStream::test_trains_equal_to_compact_path",
+    "tests/test_stream.py::TestPoolStream::test_run_epoch_trains",
+    "tests/test_tensor_parallel.py::test_tp_train_step_matches_single_device",
+    "tests/test_training.py::test_gradient_clipping_keeps_updates_finite",
+    "tests/test_training.py::test_multiclass_training_step",
+    "tests/test_training.py::test_train_epoch_losses_finite_nonneg",
+    "tests/test_training.py::test_train_step_changes_params",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        base_id = item.nodeid.split("[")[0]
+        if base_id in SLOW_TESTS:
+            item.add_marker(pytest.mark.slow)
+
 
 @pytest.fixture(scope="session")
 def img_size():
