@@ -113,8 +113,8 @@ def bench_stages(cfg, batch, iters):
     targets = []
     for g in cfg.grid_sizes:
         t = np.zeros((batch, g, g, 3, 5 + cfg.num_classes), np.float32)
-        t[:, g // 2, g // 2, 0] = [0.5, 0.5, 0.2, 0.2, 1.0] + [1.0] * (
-            cfg.num_classes > 0)
+        t[:, g // 2, g // 2, 0, :5] = [0.5, 0.5, 0.2, 0.2, 1.0]
+        t[:, g // 2, g // 2, 0, 5] = 1.0  # one-hot class 0
         targets.append(jnp.asarray(t))
 
     results = {}
@@ -234,15 +234,160 @@ def bench_convs(cfg, batch, iters):
     return rows
 
 
+def bench_convs_bwd(cfg, batch, iters):
+    """Time each traced conv's BACKWARD pair (grad-input + grad-kernel)
+    standalone. Each backward conv moves the same FLOPs as the forward, so
+    the per-conv floor is ~2x the forward floor — this locates which layers
+    the backward pass executes inefficiently (the forward table can't:
+    XLA lowers grad-input to a transposed/dilated conv and grad-kernel to
+    a batch-contracting conv, with different layouts and tilings)."""
+    convs, _ = forward_conv_costs(cfg, batch)
+    counts = {}
+    for c in convs:
+        key = (c.lhs_shape, c.kernel_shape, c.strides, c.padding, c.dtype)
+        counts.setdefault(key, [c, 0])[1] += 1
+    rng = np.random.default_rng(0)
+    dn = jax.lax.conv_dimension_numbers(
+        convs[0].lhs_shape, convs[0].kernel_shape, ("NHWC", "HWIO", "NHWC"))
+
+    rows, total_meas, total_floor = [], 0.0, 0.0
+    for c, n in counts.values():
+        dtype = jnp.dtype(c.dtype)
+        x = jnp.asarray(rng.random(c.lhs_shape), jnp.float32).astype(dtype)
+        w = jnp.asarray(
+            rng.random(c.kernel_shape) * 0.01, jnp.float32).astype(dtype)
+        ct = jnp.asarray(
+            rng.random(c.out_shape) * 0.01, jnp.float32).astype(dtype)
+
+        conv = functools.partial(
+            jax.lax.conv_general_dilated, window_strides=c.strides,
+            padding=c.padding, dimension_numbers=dn)
+
+        def bwd_step(carry, w=w, conv=conv):
+            # both grads feed the next iteration's (x, ct) so neither
+            # backward conv is loop-invariant (XLA would hoist it out of
+            # the scan and the slope would time nothing)
+            x, ct = carry
+            _, vjp = jax.vjp(conv, x, w)
+            dx, dw = vjp(ct)
+            return _dep(x, (dx, dw)), _dep(ct, (dx, dw))
+
+        t = time_per_iter(bwd_step, (x, ct), 100, 2100, reps=3)
+        floor = 2.0 * c.t_min  # two backward convs, each ~the fwd cost
+        total_meas += t * n
+        total_floor += floor * n
+        rows.append((c, t, n))
+        log(f"bwd  {str(c.out_shape):>22} k{str(c.kernel_shape):>18} "
+            f"s{c.strides[0]} x{n}: {t * 1e6:8.1f} us  floor "
+            f"{floor * 1e6:7.1f} us  ({t / floor:5.1f}x)")
+    log(f"sum of standalone conv backwards: {total_meas * 1e3:.2f} ms  "
+        f"(roofline floor {total_floor * 1e3:.2f} ms, "
+        f"{total_meas / total_floor:.1f}x)")
+    return rows
+
+
+def bench_loss(cfg, batch, iters):
+    """Time the multiscale loss fwd+grad standalone (random logits/dense
+    targets) — isolates the loss's share of the train step's backward
+    delta (stage 3 minus stage 2 bundles it with the model backward)."""
+    rng = np.random.default_rng(0)
+    anchors = cfg.anchors_array
+    preds, targets = [], []
+    for g in cfg.grid_sizes:
+        shape = (batch, g, g, 3, 5 + cfg.num_classes)
+        preds.append(jnp.asarray(rng.standard_normal(shape), jnp.float32))
+        t = np.zeros(shape, np.float32)
+        t[:, g // 2, g // 2, 0, :5] = [0.5, 0.5, 0.2, 0.2, 1.0]
+        t[:, g // 2, g // 2, 0, 5] = 1.0  # one-hot class 0
+        targets.append(jnp.asarray(t))
+
+    def loss_total(preds):
+        total, *_ = yolo_loss_multiscale(
+            preds, targets, anchors, cfg.num_classes, cfg.img_size)
+        return total
+
+    def step(preds):
+        grads = jax.grad(loss_total)(preds)
+        return [_dep(p, g) for p, g in zip(preds, grads)]
+
+    t = time_per_iter(step, preds, max(iters // 4, 2), iters)
+    log(f"loss fwd+grad alone:  {t * 1e3:7.2f} ms")
+    return t
+
+
+def bench_compact(cfg, batch, iters):
+    """Time the REAL compact train step (uint8 images + on-device target
+    transport) dense vs sparse-loss, slope-style: the scanned trainer is
+    fed (n, B, ...) step stacks of two lengths and the difference cancels
+    dispatch overhead. This is the config-3-style workload where target/
+    loss traffic scales with nc (bench_stages feeds prebuilt dense
+    targets, so it never sees the assignment cost)."""
+    from yolo_from_scratch_tpu.train.steps import (
+        create_train_state,
+        make_train_step_multi_compact,
+        set_learning_rate,
+    )
+
+    rng = np.random.default_rng(0)
+    k = 64
+    n1, n2 = max(iters // 4, 2), iters
+
+    def make_stack(n):
+        imgs = (rng.random((n, batch, cfg.img_size, cfg.img_size, 3))
+                * 255).astype(np.uint8)
+        if cfg.packed_stem:
+            from yolo_from_scratch_tpu.models.packed import pack_s2d_host
+
+            imgs = pack_s2d_host(imgs)
+        labels = np.zeros((n, batch, k, 5), np.float32)
+        labels[..., 0] = rng.integers(0, cfg.num_classes, (n, batch, k))
+        labels[..., 1:3] = rng.uniform(0.05, 0.95, (n, batch, k, 2))
+        labels[..., 3:5] = rng.uniform(0.03, 0.3, (n, batch, k, 2))
+        counts = rng.integers(4, 12, (n, batch)).astype(np.int32)
+        return (jnp.asarray(imgs), jnp.asarray(labels),
+                jnp.asarray(counts))
+
+    out = {}
+    for sparse in (False, True):
+        model, tx, state0 = create_train_state(
+            jax.random.PRNGKey(0), cfg, 1e-3, batch_size=1)
+        state0 = jax.device_put(state0, jax.devices()[0])
+        state0 = set_learning_rate(state0, 1e-3)
+        step = make_train_step_multi_compact(model, tx, cfg, donate=False,
+                                             sparse_loss=sparse)
+        times = []
+        for n in (n1, n2):
+            stack = make_stack(n)
+            t = time_dispatch(lambda s, st=stack: step(s, *st), state0)
+            times.append(t)
+        per = (times[1] - times[0]) / (n2 - n1)
+        out[sparse] = per
+        log(f"compact step ({'sparse' if sparse else 'dense '} loss, "
+            f"nc={cfg.num_classes}): {per * 1e3:7.2f} ms  "
+            f"=> {batch / per:7.0f} img/s")
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--size", default="s")
     ap.add_argument("--img-size", type=int, default=640)
+    ap.add_argument("--nc", type=int, default=1,
+                    help="num_classes (1 = headline bench; 80 = config-3 "
+                         "regime, where dense loss/target traffic scales "
+                         "with nc)")
     ap.add_argument("--iters", type=int, default=30,
                     help="scan length per dispatch")
     ap.add_argument("--convs", action="store_true",
                     help="also time every conv standalone")
+    ap.add_argument("--convs-bwd", action="store_true",
+                    help="also time every conv's backward pair standalone")
+    ap.add_argument("--loss", action="store_true",
+                    help="also time the multiscale loss fwd+grad standalone")
+    ap.add_argument("--compact", action="store_true",
+                    help="also time the real compact train step, dense "
+                         "transport vs sparse loss")
     ap.add_argument("--stages", action="store_true", default=None)
     ap.add_argument("--packed-stem", action="store_true",
                     help="evaluate the stem space-to-depth packed on "
@@ -253,15 +398,22 @@ def main():
     a = ap.parse_args()
 
     cfg = YoloConfig.from_size(a.size, img_size=a.img_size,
+                               num_classes=a.nc,
                                compute_dtype="bfloat16",
                                packed_stem=a.packed_stem or a.packed_interior,
                                packed_interior=a.packed_interior)
     log(f"backend: {jax.devices()[0]}  batch {a.batch} img {a.img_size} "
-        f"'{a.size}' bf16, {a.iters} scanned iters/dispatch")
-    if a.stages or not a.convs:
+        f"'{a.size}' nc={a.nc} bf16, {a.iters} scanned iters/dispatch")
+    if a.stages or not (a.convs or a.convs_bwd or a.loss or a.compact):
         bench_stages(cfg, a.batch, a.iters)
     if a.convs:
         bench_convs(cfg, a.batch, a.iters)
+    if a.convs_bwd:
+        bench_convs_bwd(cfg, a.batch, a.iters)
+    if a.loss:
+        bench_loss(cfg, a.batch, a.iters)
+    if a.compact:
+        bench_compact(cfg, a.batch, a.iters)
 
 
 if __name__ == "__main__":
