@@ -125,6 +125,14 @@ def build_parser():
                              "the host link instead of ~8.7 MB at nc=80 "
                              "@640. Anchor head only; host --augment "
                              "(mosaic) unsupported, use --device-augment")
+    parser.add_argument("--sparse-loss", action="store_true",
+                        help="With --compact-targets (anchor head): skip "
+                             "the dense target maps entirely — the "
+                             "gather-based loss (ops/losses_sparse.py) "
+                             "reads only the <=K winner cells per image "
+                             "plus one objectness reduction. Same loss "
+                             "to float-summation order; augmentation "
+                             "moves to label level")
     parser.add_argument("--device-mosaic", action="store_true",
                         help="With --compact-targets: 4-image mosaic "
                              "composed ON the TPU inside the jitted step "
@@ -604,6 +612,13 @@ def main(argv=None):
                 print("ERROR: --device-mosaic requires --compact-targets "
                       "(it transforms raw labels, not dense maps)")
                 sys.exit(1)
+            if args.sparse_loss and not args.compact_targets:
+                print("ERROR: --sparse-loss requires --compact-targets "
+                      "(it gathers from raw labels, not dense maps)")
+                sys.exit(1)
+            if args.sparse_loss and cfg.head_type == "anchor_free":
+                print("NOTE: --sparse-loss ignored (anchor-free TAL is "
+                      "already dense-transport-free)")
             # multi-host: each process loads its strided slice of every
             # epoch permutation (identical shuffle seed across hosts keeps
             # the slices disjoint); batch_size is per-process
@@ -649,6 +664,7 @@ def main(argv=None):
                 device_augment=args.device_augment, augment_seed=args.seed,
                 compact_targets=bool(args.compact_targets),
                 device_mosaic=args.device_mosaic,
+                sparse_loss=args.sparse_loss,
             )
             eval_step = make_eval_step(
                 model, cfg, quirk_640=args.reference_quirks,
@@ -688,7 +704,8 @@ def main(argv=None):
                         model, tx, cfg, quirk_640=args.reference_quirks,
                         device_augment=args.device_augment,
                         augment_seed=args.seed,
-                        device_mosaic=args.device_mosaic)
+                        device_mosaic=args.device_mosaic,
+                        sparse_loss=args.sparse_loss)
                     print(f"Streaming from cache ({len(cache)} images) via "
                           f"a {stream.pool_size}-image HBM pool, "
                           f"{args.stream_chunk} steps/dispatch")
@@ -701,7 +718,8 @@ def main(argv=None):
                         model, tx, cfg, quirk_640=args.reference_quirks,
                         device_augment=args.device_augment,
                         augment_seed=args.seed,
-                        device_mosaic=args.device_mosaic)
+                        device_mosaic=args.device_mosaic,
+                        sparse_loss=args.sparse_loss)
                     print(f"Streaming from cache ({len(cache)} images), "
                           f"double-buffered chunks of "
                           f"{args.stream_chunk} steps")

@@ -108,20 +108,31 @@ def assign_targets_device_masked_batch(labels, valid, anchors, img_size,
                                         num_classes)
 
 
-def assign_targets_device_masked(labels, valid, anchors, img_size: int,
-                                 num_classes: int):
-    """Mask-based variant of `assign_targets_device`: validity is an
-    explicit (K,) bool instead of a prefix count. Needed by the device
-    mosaic (ops/mosaic_device.py), whose composed label set interleaves
-    the four sources' padding rows; the first-wins rule still resolves in
-    ROW ORDER among valid rows (for a prefix mask this is exactly the
-    host's file order)."""
-    k = labels.shape[0]
+def class_onehot(cls_ids, num_classes: int):
+    """The class row the assignment writes: (K,) int32 -> (K, nc) float32.
+    nc == 1 writes 1 regardless of the id (reference: train.py:201-205);
+    out-of-range ids write all-zeros."""
+    k = cls_ids.shape[0]
+    if num_classes == 1:
+        return jnp.ones((k, 1), jnp.float32)
+    return jnp.zeros((k, num_classes), jnp.float32).at[
+        jnp.arange(k), jnp.clip(cls_ids, 0, num_classes - 1)
+    ].set(jnp.where((cls_ids >= 0) & (cls_ids < num_classes), 1.0, 0.0))
+
+
+def transport_slots(labels, valid, anchors, img_size: int):
+    """Per-GT (scale, cell, anchor) routing + first-wins resolution — the
+    transport shared by the dense scatter path (below) and the sparse
+    gather loss (ops/losses_sparse.py).
+
+    Returns (best_anchor (K,) i32, winners, slots) where winners[s] is the
+    (K,) bool mask of rows that own a slot at scale s and slots[s] the
+    (K,) i32 flat index (gy*gs + gx)*A + anchor there (dummy = gs*gs*A for
+    rows not routed to s, so scatters can redirect them off the grid).
+    """
     na = NUM_ANCHORS_PER_SCALE
     grid_sizes = [img_size // s for s in STRIDES]
-    out_dim = 5 + num_classes
     boxes = labels[:, 1:5]
-    cls_ids = labels[:, 0].astype(jnp.int32)
 
     # (K, 9) shape-only IoU, both boxes centered at origin (reference:
     # train.py:108-131) — same expression as the host _shape_iou_matrix.
@@ -139,21 +150,8 @@ def assign_targets_device_masked(labels, valid, anchors, img_size: int,
     best_scale = best_flat // na
     best_anchor = best_flat % na
 
-    # the value row every winner writes: [cx, cy, w, h, 1, one-hot(cls)]
-    if num_classes == 1:
-        # reference writes index 5 = 1 regardless of the class id
-        # (train.py:201-205)
-        onehot = jnp.ones((k, 1), jnp.float32)
-    else:
-        onehot = jnp.zeros((k, num_classes), jnp.float32).at[
-            jnp.arange(k), jnp.clip(cls_ids, 0, num_classes - 1)
-        ].set(jnp.where((cls_ids >= 0) & (cls_ids < num_classes), 1.0, 0.0))
-    rows = jnp.concatenate(
-        [boxes, jnp.ones((k, 1), jnp.float32), onehot], axis=1
-    )
-
-    order = jnp.arange(k)
-    targets = []
+    order = jnp.arange(labels.shape[0])
+    winners, slots = [], []
     for s, gs in enumerate(grid_sizes):
         dummy = gs * gs * na
         # truncation toward zero matches the host's int(); clamp both ends
@@ -167,7 +165,36 @@ def assign_targets_device_masked(labels, valid, anchors, img_size: int,
         # are always < dummy, so eq never cross-matches them.
         clash = (slot[None, :] == slot[:, None]) & (order[None, :] <
                                                     order[:, None])
-        winner = mine & ~jnp.any(clash, axis=1)
+        winners.append(mine & ~jnp.any(clash, axis=1))
+        slots.append(slot)
+    return best_anchor, winners, slots
+
+
+def assign_targets_device_masked(labels, valid, anchors, img_size: int,
+                                 num_classes: int):
+    """Mask-based variant of `assign_targets_device`: validity is an
+    explicit (K,) bool instead of a prefix count. Needed by the device
+    mosaic (ops/mosaic_device.py), whose composed label set interleaves
+    the four sources' padding rows; the first-wins rule still resolves in
+    ROW ORDER among valid rows (for a prefix mask this is exactly the
+    host's file order)."""
+    na = NUM_ANCHORS_PER_SCALE
+    grid_sizes = [img_size // s for s in STRIDES]
+    out_dim = 5 + num_classes
+    boxes = labels[:, 1:5]
+    cls_ids = labels[:, 0].astype(jnp.int32)
+
+    # the value row every winner writes: [cx, cy, w, h, 1, one-hot(cls)]
+    onehot = class_onehot(cls_ids, num_classes)
+    k = labels.shape[0]
+    rows = jnp.concatenate(
+        [boxes, jnp.ones((k, 1), jnp.float32), onehot], axis=1
+    )
+
+    _, winners, slots = transport_slots(labels, valid, anchors, img_size)
+    targets = []
+    for gs, winner, slot in zip(grid_sizes, winners, slots):
+        dummy = gs * gs * na
         idx = jnp.where(winner, slot, dummy)
         flat = jnp.zeros((dummy + 1, out_dim), jnp.float32).at[idx].set(rows)
         targets.append(flat[:-1].reshape(gs, gs, na, out_dim))

@@ -70,7 +70,7 @@ def create_train_state(rng, cfg: YoloConfig, learning_rate=1e-2, batch_size=1):
 
 
 def _make_loss_fn(model: YOLO, cfg: YoloConfig, quirk_640: bool,
-                  af_compact: bool = False):
+                  af_compact: bool = False, sparse: bool = False):
     """Head-family dispatch: anchor-based (reference parity) or the
     anchor-free decoupled head. Returns
     loss_fn(params, batch_stats, images, targets)
@@ -78,7 +78,11 @@ def _make_loss_fn(model: YOLO, cfg: YoloConfig, quirk_640: bool,
 
     `af_compact`: anchor-free head fed by the compact path — `targets`
     is the explicit GT tuple (gt_boxes, gt_cls, gt_valid) produced by
-    `_make_expand`, consumed by TAL with no dense transport."""
+    `_make_expand`, consumed by TAL with no dense transport.
+
+    `sparse`: anchor head fed by the compact path with the gather-based
+    loss (ops/losses_sparse.py) — `targets` is the (labels, valid)
+    tuple; no dense maps are ever materialized."""
     anchors = cfg.anchors_array
 
     if cfg.head_type == "anchor_free":
@@ -112,9 +116,21 @@ def _make_loss_fn(model: YOLO, cfg: YoloConfig, quirk_640: bool,
             {"params": params, "batch_stats": batch_stats},
             images, train=True, mutable=["batch_stats"],
         )
-        total, bbox, obj, cls = yolo_loss_multiscale(
-            preds, targets, anchors, cfg.num_classes, cfg.img_size, quirk_640
-        )
+        if sparse:
+            from yolo_from_scratch_tpu.ops.losses_sparse import (
+                yolo_loss_multiscale_sparse,
+            )
+
+            labels, valid = targets
+            total, bbox, obj, cls = yolo_loss_multiscale_sparse(
+                preds, labels, valid, anchors, cfg.num_classes,
+                cfg.img_size, quirk_640
+            )
+        else:
+            total, bbox, obj, cls = yolo_loss_multiscale(
+                preds, targets, anchors, cfg.num_classes, cfg.img_size,
+                quirk_640
+            )
         return total, (mutated["batch_stats"], bbox, obj, cls)
 
     return loss_fn
@@ -136,7 +152,7 @@ def _make_augment(cfg: YoloConfig, device_augment, seed: int = 0):
 def make_train_step(model: YOLO, tx, cfg: YoloConfig, quirk_640: bool = False,
                     donate: bool = True, device_augment: bool = False,
                     augment_seed: int = 0, compact_targets: bool = False,
-                    device_mosaic: bool = False):
+                    device_mosaic: bool = False, sparse_loss: bool = False):
     """Build the jitted train step: (state, images, targets3) -> (state, metrics).
 
     `device_augment`: apply random hflip + photometric jitter on-device
@@ -146,17 +162,24 @@ def make_train_step(model: YOLO, tx, cfg: YoloConfig, quirk_640: bool = False,
     tuple and the dense maps are rebuilt on-device
     (data/assign_device.py); pairs with `DataLoader(compact=K)` so the
     streaming path ships ~1 KB of labels per image instead of dense maps
-    (~8.7 MB/img at nc=80 @640). uint8 images are normalized in-step."""
+    (~8.7 MB/img at nc=80 @640). uint8 images are normalized in-step.
+
+    `sparse_loss` (with `compact_targets`, anchor head): skip the dense
+    maps entirely — the gather-based ops/losses_sparse consumes
+    (labels, valid) directly; augmentation moves to label level."""
 
     af_compact = compact_targets and cfg.head_type == "anchor_free"
-    loss_fn = _make_loss_fn(model, cfg, quirk_640, af_compact=af_compact)
-    # anchor-free compact: augmentation rides the label-level expand;
-    # the dense-level hook would not type-check on the GT tuple
-    aug = (None if af_compact
+    sparse_loss = sparse_loss and compact_targets and not af_compact
+    loss_fn = _make_loss_fn(model, cfg, quirk_640, af_compact=af_compact,
+                            sparse=sparse_loss)
+    # anchor-free compact / sparse: augmentation rides the label-level
+    # expand; the dense-level hook would not type-check on those targets
+    aug = (None if af_compact or sparse_loss
            else _make_augment(cfg, device_augment, augment_seed))
     expand = _make_expand(cfg, compact_targets, mosaic=device_mosaic,
                           seed=augment_seed,
-                          device_augment=device_augment)
+                          device_augment=device_augment,
+                          sparse=sparse_loss)
 
     def train_step(state: TrainState, images, targets):
         images, targets = expand(state.step, images, targets)
@@ -228,7 +251,7 @@ def make_train_step_multi(model: YOLO, tx, cfg: YoloConfig, quirk_640=False,
 
 def _make_expand(cfg: YoloConfig, compact_targets: bool,
                  mosaic: bool = False, seed: int = 0,
-                 device_augment=False):
+                 device_augment=False, sparse: bool = False):
     """Input adapter for the train steps: normalize uint8 images in-step,
     (when `mosaic`) compose a device-side 4-mosaic over the compact
     labels (ops/mosaic_device.py, keyed by the step index), and (when
@@ -238,20 +261,26 @@ def _make_expand(cfg: YoloConfig, compact_targets: bool,
     whose loss assigns from GT lists, so no dense transport exists at
     all on that path.
 
-    `device_augment` applies ONLY on the anchor-free compact path
-    (label-level hflip/jitter, ops/augment.augment_compact_batch) — the
-    anchor paths keep their dense-level hook in the step functions.
+    `device_augment` applies at label level (ops/augment.
+    augment_compact_batch) on the anchor-free compact path AND the
+    sparse anchor path (`sparse=True`, which returns (labels, valid)
+    for ops/losses_sparse with no dense transport); the dense anchor
+    paths keep their dense-level hook in the step functions. (Label-
+    level and dense-level hflip agree except when a flipped center
+    lands exactly on a cell boundary — measure-zero for real data.)
     Returns expand(step, images, targets)."""
     if mosaic and not compact_targets:
         raise ValueError("device mosaic requires compact targets (it "
                          "transforms raw labels, not dense maps)")
     anchors = cfg.anchors_array
     af = cfg.head_type == "anchor_free"
+    sparse = sparse and not af
     packed = bool(getattr(cfg, "packed_stem", False))
     # distinct stream from the flip/jitter hook (seed ^ a fixed salt)
     mosaic_base = jax.random.PRNGKey(seed ^ 0x6D6F7361) if mosaic else None
     aug_base = (jax.random.PRNGKey(seed)
-                if af and compact_targets and device_augment else None)
+                if (af or sparse) and compact_targets and device_augment
+                else None)
 
     def expand(step, images, targets):
         if images.dtype == jnp.uint8:
@@ -274,7 +303,7 @@ def _make_expand(cfg: YoloConfig, compact_targets: bool,
         else:
             valid = jnp.arange(k)[None, :] < counts[:, None]
 
-        if af:
+        if af or sparse:
             if aug_base is not None:
                 from yolo_from_scratch_tpu.ops.augment import (
                     augment_compact_batch,
@@ -284,6 +313,8 @@ def _make_expand(cfg: YoloConfig, compact_targets: bool,
                     jax.random.fold_in(aug_base, step), images, labels,
                     valid, packed=packed,
                     jitter=(device_augment != "flip"))
+            if sparse:
+                return images, (labels, valid)
             cls_ids = jnp.clip(labels[..., 0].astype(jnp.int32), 0,
                                cfg.num_classes - 1)
             gt_cls = (jax.nn.one_hot(cls_ids, cfg.num_classes)
@@ -307,7 +338,8 @@ def make_train_step_multi_compact(model: YOLO, tx, cfg: YoloConfig,
                                   quirk_640=False, donate=True,
                                   device_augment: bool = False,
                                   augment_seed: int = 0,
-                                  device_mosaic: bool = False):
+                                  device_mosaic: bool = False,
+                                  sparse_loss: bool = False):
     """Scanned multi-step trainer fed by COMPACT labels: the dense target
     maps are rebuilt on-device inside the scan body
     (data/assign_device.py) instead of being staged in HBM.
@@ -324,18 +356,24 @@ def make_train_step_multi_compact(model: YOLO, tx, cfg: YoloConfig,
     is (B*K, 9) elementwise work + three scatters — noise next to the
     conv step.
 
-    Both head families: the anchor head expands to dense maps on-device;
-    the anchor-free head feeds the compact labels to TAL DIRECTLY
-    (yolo_loss_anchor_free_from_gt) — its natural input is a GT list, so
-    this path has no dense targets anywhere.
+    Both head families: the anchor head expands to dense maps on-device
+    (or, with `sparse_loss=True`, skips dense maps entirely and feeds
+    (labels, valid) to the gather-based ops/losses_sparse — same loss,
+    no dense transport; augmentation moves to label level like the
+    anchor-free path); the anchor-free head feeds the compact labels to
+    TAL DIRECTLY (yolo_loss_anchor_free_from_gt) — its natural input is
+    a GT list, so this path has no dense targets anywhere.
     """
     af_compact = cfg.head_type == "anchor_free"
-    loss_fn = _make_loss_fn(model, cfg, quirk_640, af_compact=af_compact)
-    aug = (None if af_compact
+    sparse_loss = sparse_loss and not af_compact
+    loss_fn = _make_loss_fn(model, cfg, quirk_640, af_compact=af_compact,
+                            sparse=sparse_loss)
+    aug = (None if af_compact or sparse_loss
            else _make_augment(cfg, device_augment, augment_seed))
     expand = _make_expand(cfg, compact_targets=True, mosaic=device_mosaic,
                           seed=augment_seed,
-                          device_augment=device_augment)
+                          device_augment=device_augment,
+                          sparse=sparse_loss)
 
     def one_step(state, images, labels, counts):
         images, targets = expand(state.step, images, (labels, counts))
@@ -366,7 +404,8 @@ def make_train_step_multi_pool(model: YOLO, tx, cfg: YoloConfig,
                                quirk_640=False, donate=True,
                                device_augment: bool = False,
                                augment_seed: int = 0,
-                               device_mosaic: bool = False):
+                               device_mosaic: bool = False,
+                               sparse_loss: bool = False):
     """Scanned multi-step trainer sampling from a DEVICE-RESIDENT pool
     (data/stream.PoolStream): each scan step gathers its batch from the
     staged pool by index, so the host->device link carries only fresh
@@ -382,12 +421,15 @@ def make_train_step_multi_pool(model: YOLO, tx, cfg: YoloConfig,
     (dense maps for the anchor head, GT lists for TAL).
     """
     af_compact = cfg.head_type == "anchor_free"
-    loss_fn = _make_loss_fn(model, cfg, quirk_640, af_compact=af_compact)
-    aug = (None if af_compact
+    sparse_loss = sparse_loss and not af_compact
+    loss_fn = _make_loss_fn(model, cfg, quirk_640, af_compact=af_compact,
+                            sparse=sparse_loss)
+    aug = (None if af_compact or sparse_loss
            else _make_augment(cfg, device_augment, augment_seed))
     expand = _make_expand(cfg, compact_targets=True, mosaic=device_mosaic,
                           seed=augment_seed,
-                          device_augment=device_augment)
+                          device_augment=device_augment,
+                          sparse=sparse_loss)
 
     def one_step(state, images, labels, counts):
         images, targets = expand(state.step, images, (labels, counts))
