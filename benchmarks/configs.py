@@ -50,7 +50,8 @@ CONFIGS = {
 }
 
 
-def run(spec, lr=5e-3, batch=8, stage="all", augment=False, mosaic=False):
+def run(spec, lr=5e-3, batch=8, stage="all", augment=False, mosaic=False,
+        sparse=False):
     """stage: 'all' | 'train' (train + save ckpt, skip eval) | 'eval'
     (load ckpt, mAP only) — the axon remote compiler makes train + eval
     compiles together overrun a single 10-minute call budget.
@@ -77,6 +78,7 @@ def run(spec, lr=5e-3, batch=8, stage="all", augment=False, mosaic=False):
             num_classes=spec["num_classes"], n_min=spec["n_min"],
             n_max=spec["n_max"], box_range=spec["box_range"],
             class_mode=spec.get("class_mode", "color"),
+            n_distract=spec.get("n_distract", 0),
         )
     anchors = None
     if spec["kmeans"]:
@@ -131,7 +133,8 @@ def run(spec, lr=5e-3, batch=8, stage="all", augment=False, mosaic=False):
     state = jax.device_put(state, jax.devices()[0])
     steps = make_train_step_multi_compact(model, tx, cfg,
                                           device_augment=augment,
-                                          device_mosaic=mosaic)
+                                          device_mosaic=mosaic,
+                                          sparse_loss=sparse)
 
     t_compile = time.time()
     times = []
@@ -181,6 +184,8 @@ def _eval(spec, cfg, variables, root, train_ips):
         "kmeans_anchors": bool(spec["kmeans"]),
         "device_augment": spec.get("augment", False) or False,
         "device_mosaic": spec.get("mosaic", False),
+        "class_mode": spec.get("class_mode", "color"),
+        "n_distract": spec.get("n_distract", 0),
         "det_f1": round(m["det_f1"], 1),
     }
     print(json.dumps(result), flush=True)
@@ -194,6 +199,7 @@ if __name__ == "__main__":
     stage = "all"
     augment = False
     mosaic = False
+    sparse = False
     overrides = {}
     keys = []
     args = sys.argv[1:]
@@ -212,8 +218,17 @@ if __name__ == "__main__":
             # device-side 4-mosaic inside the scanned step
             # (ops/mosaic_device.py)
             mosaic = True
+        elif a == "--sparse-loss":
+            # gather-based loss, no dense target transport
+            # (ops/losses_sparse.py)
+            sparse = True
         elif a in ("--n-train", "--n-val", "--epochs"):
             overrides[a[2:].replace("-", "_")] = int(args[i + 1])
+            i += 1
+        elif a == "--distractors":
+            # unlabeled out-of-class-set hard negatives per image
+            # (shape mode only; utils/synth.py make_image)
+            overrides["n_distract"] = int(args[i + 1])
             i += 1
         elif a == "--class-mode":
             # "shape": class identity is shape x texture with random
@@ -226,7 +241,8 @@ if __name__ == "__main__":
             # for a config key (it would crash only AFTER training)
             raise SystemExit(f"unknown flag {a!r} (have: --train-only "
                              f"--eval-only --augment --augment-flip "
-                             f"--mosaic --n-train N --n-val N --epochs N "
+                             f"--mosaic --sparse-loss --n-train N "
+                             f"--n-val N --epochs N --distractors N "
                              f"--class-mode color|shape)")
         elif a not in CONFIGS:
             raise SystemExit(f"unknown config {a!r} "
@@ -241,4 +257,7 @@ if __name__ == "__main__":
             spec["name"] += "_n{}".format(spec["n_train"])
             if spec.get("class_mode") == "shape":
                 spec["name"] += "_shape"
-        run(spec, stage=stage, augment=augment, mosaic=mosaic)
+            if spec.get("n_distract"):
+                spec["name"] += "_d{}".format(spec["n_distract"])
+        run(spec, stage=stage, augment=augment, mosaic=mosaic,
+            sparse=sparse)

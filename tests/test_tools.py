@@ -64,6 +64,33 @@ def test_synth_small_object_range(tmp_path):
         assert 0.015 <= w <= 0.06 and 0.015 <= h <= 0.06
 
 
+def test_synth_distractors_unlabeled_and_guarded(tmp_path):
+    import numpy as np
+
+    from yolo_from_scratch_tpu.utils.synth import (
+        N_SHAPES,
+        N_TEXTURES,
+        make_image,
+    )
+
+    rng = np.random.default_rng(0)
+    # distractors draw pixels but never label rows
+    for _ in range(10):
+        _, rows = make_image(rng, 192, 2, 2, num_classes=5,
+                             box_range=(0.1, 0.25), class_mode="shape",
+                             n_distract=3)
+        assert len(rows) <= 2
+        assert all(0 <= c < 5 for c, *_ in rows)
+    import pytest
+
+    with pytest.raises(ValueError, match="shape"):
+        make_image(rng, 128, 1, 1, num_classes=1, class_mode="color",
+                   n_distract=1)
+    with pytest.raises(ValueError, match="free"):
+        make_image(rng, 128, 1, 1, num_classes=N_SHAPES * N_TEXTURES,
+                   class_mode="shape", n_distract=1)
+
+
 def test_ici_dp_projection_model():
     """The DP scaling projection: ring all-reduce wire volume, monotone
     efficiency, and consistency with hand math at N=8."""

@@ -743,7 +743,8 @@ def main(argv=None):
                                   augment_seed=args.seed,
                                   compact_targets=bool(
                                       args.compact_targets),
-                                  device_mosaic=args.device_mosaic))
+                                  device_mosaic=args.device_mosaic,
+                                  sparse_loss=args.sparse_loss))
                     loader_s = (train_loader if s == cfg.img_size
                                 else DataLoader(
                                     YoloDataset(

@@ -114,16 +114,36 @@ def render_class_patch(c: int, h: int, w: int, color, rng=None):
 
 
 def make_image(rng, img_size, n_min=1, n_max=3, num_classes=1,
-               box_range=(0.08, 0.35), class_mode="color"):
-    """One synthetic image + its YOLO label rows [(cls, cx, cy, w, h)]."""
+               box_range=(0.08, 0.35), class_mode="color",
+               n_distract=0):
+    """One synthetic image + its YOLO label rows [(cls, cx, cy, w, h)].
+
+    `n_distract` (shape mode, num_classes < N_SHAPES*N_TEXTURES only):
+    up to that many UNLABELED distractor objects per image, drawn from
+    shape x texture combos outside the class set — true hard negatives
+    (some share a class's shape with a different texture and vice
+    versa), so detection stops being "any blob on gray background" and
+    the saturated single-class regimes (config 4) get a discriminative
+    axis that isn't classification."""
     img = np.clip(
         rng.normal(BG_GRAY, 12, (img_size, img_size, 3)), 0, 255
     ).astype(np.uint8)
     rows = []
     placed = []  # pixel boxes already drawn, for overlap rejection
     lo, hi = box_range
-    for _ in range(int(rng.integers(n_min, n_max + 1))):
-        c = int(rng.integers(0, num_classes))
+    n_obj = int(rng.integers(n_min, n_max + 1))
+    n_neg = int(rng.integers(0, n_distract + 1)) if n_distract else 0
+    if n_distract:
+        if class_mode != "shape":
+            raise ValueError("distractors require class_mode='shape' "
+                             "(color mode has no negative combos)")
+        if num_classes >= N_SHAPES * N_TEXTURES:
+            raise ValueError("no free shape x texture combos left for "
+                             "distractors")
+    for i in range(n_obj + n_neg):
+        distract = i >= n_obj
+        c = (int(rng.integers(num_classes, N_SHAPES * N_TEXTURES))
+             if distract else int(rng.integers(0, num_classes)))
         for _attempt in range(20):
             w = rng.uniform(lo, hi)
             h = rng.uniform(lo, hi)
@@ -159,14 +179,15 @@ def make_image(rng, img_size, n_min=1, n_max=3, num_classes=1,
                 )
                 img[y1:y2, x1:x2] = np.clip(block, 0, 255).astype(np.uint8)
             placed.append((x1, y1, x2, y2))
-            rows.append((c, cx, cy, w, h))
+            if not distract:
+                rows.append((c, cx, cy, w, h))
             break
     return img, rows
 
 
 def make_dataset(root, n_train=128, n_val=24, img_size=640, seed=0,
                  num_classes=1, n_min=1, n_max=3, box_range=(0.08, 0.35),
-                 class_mode="color"):
+                 class_mode="color", n_distract=0):
     """Write the dataset + dataset.yaml. Returns the yaml path.
 
     `num_classes` > 1 draws each box's class uniformly with a distinct
@@ -174,7 +195,9 @@ def make_dataset(root, n_train=128, n_val=24, img_size=640, seed=0,
     object scale (config 4's small-object regime uses e.g. (0.015, 0.06)).
     `class_mode="shape"` encodes class identity as shape x texture with
     random per-instance colors (color-invariant: supports up to
-    N_SHAPES * N_TEXTURES = 80 classes).
+    N_SHAPES * N_TEXTURES = 80 classes). `n_distract`: up to that many
+    unlabeled out-of-class-set hard negatives per image (shape mode;
+    see make_image).
     """
     if class_mode == "shape" and num_classes > N_SHAPES * N_TEXTURES:
         raise ValueError(
@@ -189,7 +212,8 @@ def make_dataset(root, n_train=128, n_val=24, img_size=640, seed=0,
         (root / split / "labels").mkdir(parents=True, exist_ok=True)
         for i in range(n):
             img, rows = make_image(rng, img_size, n_min, n_max, num_classes,
-                                   box_range, class_mode)
+                                   box_range, class_mode,
+                                   n_distract=n_distract)
             Image.fromarray(img).save(
                 root / split / "images" / f"{i:04d}.jpg", quality=92
             )
