@@ -186,6 +186,7 @@ def _eval(spec, cfg, variables, root, train_ips):
         "device_mosaic": spec.get("mosaic", False),
         "class_mode": spec.get("class_mode", "color"),
         "n_distract": spec.get("n_distract", 0),
+        "sparse_loss": spec.get("sparse", False),
         "det_f1": round(m["det_f1"], 1),
     }
     print(json.dumps(result), flush=True)
@@ -252,7 +253,7 @@ if __name__ == "__main__":
         i += 1
     for key in keys or ["2", "3", "4"]:
         spec = dict(CONFIGS[key], augment=augment, mosaic=mosaic,
-                    **overrides)
+                    sparse=sparse, **overrides)
         if overrides:  # a different regime must not reuse the cached set
             spec["name"] += "_n{}".format(spec["n_train"])
             if spec.get("class_mode") == "shape":
