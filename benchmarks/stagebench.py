@@ -368,6 +368,78 @@ def bench_compact(cfg, batch, iters):
     return out
 
 
+def bench_packexp(cfg, batch, iters):
+    """Decision experiment: would extending 2x2 packing through the
+    80x80 natural stage (bb_p3_c3b-shaped C3) pay? Times the SAME
+    parameters three ways, fwd and fwd+vjp (scan slope):
+
+      dense    — C3 on the natural (B, 80, 80, c_p3) map
+      packed   — PackedC3 on the 2x2-packed map, pack/unpack INSIDE
+                 (what a minimal bolt-on would pay per C3)
+      packed*  — PackedC3 with the boundary transposes excluded
+                 (what full-stage integration would pay)
+
+    The backward table says the 32-ch 3x3s run 5.9x off floor unpacked
+    vs ~1.2x for their packed 128-ch@40x40 form, but the 1x1s pay 4x
+    FLOPs when packed — this measures the composite, which is what
+    decides the model change."""
+    import functools as ft
+
+    from flax import linen as nn
+
+    from yolo_from_scratch_tpu.models.blocks import C3
+    from yolo_from_scratch_tpu.models.packed import (
+        PackedC3,
+        pack_s2d,
+        pack_s2d_host,
+        unpack_s2d,
+    )
+
+    gs = cfg.img_size // 8  # the 80x80 level at 640
+    c = cfg.c_p3
+    n = cfg.repeats(2)
+    dt = jnp.dtype(cfg.compute_dtype)
+    rng = np.random.default_rng(0)
+    x_np = rng.standard_normal((batch, gs, gs, c)).astype(np.float32)
+    x = jnp.asarray(x_np, dt)
+    xp = jnp.asarray(pack_s2d_host(x_np, 2), dt)
+
+    dense = C3(c, n, dtype=dt)
+    packed = PackedC3(c, n, packed=2, dtype=dt)
+    variables = dense.init(jax.random.PRNGKey(0), x[:1])
+
+    def run_dense(v, x):
+        return dense.apply(v, x)
+
+    def run_packed_boundary(v, x):
+        return unpack_s2d(packed.apply(v, pack_s2d(x, 2)), 2)
+
+    def run_packed_interior(v, xp):
+        return packed.apply(v, xp)
+
+    n1, n2 = max(iters // 4, 2), iters
+    for name, fn, arg in (("dense   ", run_dense, x),
+                          ("packed  ", run_packed_boundary, x),
+                          ("packed* ", run_packed_interior, xp)):
+        def fwd_step(a, fn=fn):
+            return _dep(a, fn(variables, a))
+
+        def bwd_step(carry, fn=fn):
+            # grads wrt BOTH params and input feed the next carry so
+            # neither the wgrad nor the dgrad convs can be eliminated
+            a, ct = carry
+            y, vjp = jax.vjp(fn, variables, a)
+            dv, da = vjp(ct)
+            return _dep(a, (da, dv)), _dep(ct, y)
+
+        tf = time_per_iter(fwd_step, arg, n1 * 4, n2 * 4)
+        ct0 = jnp.asarray(rng.standard_normal(
+            jax.eval_shape(fn, variables, arg).shape), dt)
+        tb = time_per_iter(bwd_step, (arg, ct0), n1 * 4, n2 * 4)
+        log(f"c3b {name}: fwd {tf * 1e6:7.1f} us   fwd+vjp "
+            f"{tb * 1e6:7.1f} us")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=8)
@@ -388,6 +460,9 @@ def main():
     ap.add_argument("--compact", action="store_true",
                     help="also time the real compact train step, dense "
                          "transport vs sparse loss")
+    ap.add_argument("--packexp", action="store_true",
+                    help="decision experiment: 80x80 C3 stage dense vs "
+                         "2x2-packed (see bench_packexp)")
     ap.add_argument("--stages", action="store_true", default=None)
     ap.add_argument("--packed-stem", action="store_true",
                     help="evaluate the stem space-to-depth packed on "
@@ -404,7 +479,8 @@ def main():
                                packed_interior=a.packed_interior)
     log(f"backend: {jax.devices()[0]}  batch {a.batch} img {a.img_size} "
         f"'{a.size}' nc={a.nc} bf16, {a.iters} scanned iters/dispatch")
-    if a.stages or not (a.convs or a.convs_bwd or a.loss or a.compact):
+    if a.stages or not (a.convs or a.convs_bwd or a.loss or a.compact
+                        or a.packexp):
         bench_stages(cfg, a.batch, a.iters)
     if a.convs:
         bench_convs(cfg, a.batch, a.iters)
@@ -414,6 +490,8 @@ def main():
         bench_loss(cfg, a.batch, a.iters)
     if a.compact:
         bench_compact(cfg, a.batch, a.iters)
+    if a.packexp:
+        bench_packexp(cfg, a.batch, a.iters)
 
 
 if __name__ == "__main__":
