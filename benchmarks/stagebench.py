@@ -470,13 +470,17 @@ def main():
     ap.add_argument("--packed-interior", action="store_true",
                     help="extend packing through the first C3 stage "
                          "(implies --packed-stem)")
+    ap.add_argument("--packed-p3", action="store_true",
+                    help="extend packing through the whole 80x80 P3 "
+                         "level (implies --packed-interior)")
     a = ap.parse_args()
 
-    cfg = YoloConfig.from_size(a.size, img_size=a.img_size,
-                               num_classes=a.nc,
-                               compute_dtype="bfloat16",
-                               packed_stem=a.packed_stem or a.packed_interior,
-                               packed_interior=a.packed_interior)
+    cfg = YoloConfig.from_size(
+        a.size, img_size=a.img_size, num_classes=a.nc,
+        compute_dtype="bfloat16",
+        packed_stem=a.packed_stem or a.packed_interior or a.packed_p3,
+        packed_interior=a.packed_interior or a.packed_p3,
+        packed_p3=a.packed_p3)
     log(f"backend: {jax.devices()[0]}  batch {a.batch} img {a.img_size} "
         f"'{a.size}' nc={a.nc} bf16, {a.iters} scanned iters/dispatch")
     if a.stages or not (a.convs or a.convs_bwd or a.loss or a.compact

@@ -116,6 +116,10 @@ def build_parser():
                              "first C3 stage (implies --packed-stem; "
                              "numerically equivalent, ~47%% faster train "
                              "step on TPU than --packed-stem alone)")
+    parser.add_argument("--packed-p3", action="store_true",
+                        help="Extend the packed evaluation through the "
+                             "whole 80x80 P3 level (implies "
+                             "--packed-interior; numerically equivalent)")
     parser.add_argument("--compact-targets", nargs="?", const=64, type=int,
                         default=0, metavar="K",
                         help="Stream COMPACT labels (up to K boxes/image, "
@@ -257,6 +261,8 @@ def _load_model_from_ckpt(ckpt_file, dtype=None):
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    if args.packed_p3:  # each packing level builds on the previous
+        args.packed_interior = True
     if args.packed_interior:  # interior packing builds on the packed stem
         args.packed_stem = True
 
@@ -343,7 +349,8 @@ def main(argv=None):
         variables, cfg, meta = _load_model_from_ckpt(ckpt_file, args.dtype)
         if args.packed_stem:
             cfg = cfg.with_(packed_stem=True,
-                            packed_interior=args.packed_interior)
+                            packed_interior=args.packed_interior,
+                            packed_p3=args.packed_p3)
         platforms = (args.export_platforms.split(",")
                      if args.export_platforms else None)
         calib = None
@@ -395,7 +402,8 @@ def main(argv=None):
         variables, cfg, meta = _load_model_from_ckpt(ckpt_file, args.dtype)
         if args.packed_stem:  # runtime layout knob; params interchangeable
             cfg = cfg.with_(packed_stem=True,
-                            packed_interior=args.packed_interior)
+                            packed_interior=args.packed_interior,
+                            packed_p3=args.packed_p3)
         print(f"Running inference on {image_file}")
         print(f"Model: {ckpt_file}, Classes: {cfg.num_classes}, "
               f"Image size: {cfg.img_size}")
@@ -448,7 +456,8 @@ def main(argv=None):
             variables, cfg, meta = _load_model_from_ckpt(ckpt_file, args.dtype)
             if args.packed_stem:  # runtime layout knob; params interchangeable
                 cfg = cfg.with_(packed_stem=True,
-                                packed_interior=args.packed_interior)
+                                packed_interior=args.packed_interior,
+                                packed_p3=args.packed_p3)
             print(f"Evaluating model from {ckpt_file}")
             print(f"Number of classes: {cfg.num_classes}")
             print(f"Image size: {cfg.img_size}")
@@ -544,7 +553,8 @@ def main(argv=None):
                 # property — parameters are interchangeable either way
                 cfg = cfg_ckpt.with_(compute_dtype=args.dtype,
                                      packed_stem=args.packed_stem,
-                                     packed_interior=args.packed_interior)
+                                     packed_interior=args.packed_interior,
+                                     packed_p3=args.packed_p3)
                 model = YOLO(cfg)
                 save_path = args.resume
                 print(f"Resuming from {args.resume} at epoch {start_epoch + 1}")
@@ -570,6 +580,7 @@ def main(argv=None):
                     head_type=args.head,
                     packed_stem=args.packed_stem,
                     packed_interior=args.packed_interior,
+                    packed_p3=args.packed_p3,
                 )
                 model, tx, state = create_train_state(
                     jax.random.PRNGKey(args.seed), cfg, args.lr

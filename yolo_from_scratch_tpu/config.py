@@ -85,12 +85,23 @@ class YoloConfig:
     # well-shaped 64-128-channel convs. Exact (same params/checkpoints);
     # requires packed_stem.
     packed_interior: bool = False
+    # extend packing one level further, through the 80x80 (stride-8) P3
+    # stage: bb_p3_down emits a 2x2-packed map; bb_p3_c3b, lateral_p3 and
+    # merge_p3 run packed (PackedC3 / GPackedConvBNSiLU); the FPN
+    # upsample becomes a channel tile; bb_p4_down / downsample_p3_to_p4
+    # consume the packed maps; the head unpacks once. Decision data:
+    # the dense 80x80 C3 measures fwd 313 us / fwd+vjp 508 us vs 54/186
+    # packed (stagebench --packexp) — the 32-channel 3x3s underfill MXU
+    # lanes 4x. Exact-equivalence move; requires packed_interior.
+    packed_p3: bool = False
 
     def __post_init__(self):
         if self.img_size % 32 != 0:
             raise ValueError(f"img_size must be divisible by 32, got {self.img_size}")
         if self.packed_interior and not self.packed_stem:
             raise ValueError("packed_interior requires packed_stem")
+        if self.packed_p3 and not self.packed_interior:
+            raise ValueError("packed_p3 requires packed_interior")
         if self.head_type not in ("anchor", "anchor_free"):
             raise ValueError(f"unknown head_type {self.head_type!r}")
         arr = normalize_anchors(self.anchors if self.anchors else None)

@@ -103,6 +103,7 @@ class YOLO(nn.Module):
                 PackedC3,
                 PackedConvBNSiLU,
                 pack_s2d,
+                unpack_s2d,
             )
 
             if x.shape[-1] == 3:  # correctness fallback: pack on device
@@ -124,11 +125,16 @@ class YOLO(nn.Module):
             x = ConvBNSiLU(cfg.c_stem, 3, 2, use_bias=True, dtype=dt,
                            name="stem1")(x, train)
 
-        # P3: stride 4 -> 8 (reference: train.py:406-410)
+        # P3: stride 4 -> 8 (reference: train.py:406-410). With
+        # cfg.packed_p3 the whole 80x80 (stride-8) level stays 2x2-packed
+        # — its 32-channel 3x3 convs underfill the 128 MXU lanes 4x
+        # unpacked (decision data in the packed_p3 config docstring).
+        p3_packed = cfg.packed_stem and cfg.packed_interior and cfg.packed_p3
         if cfg.packed_stem and cfg.packed_interior:
             x = PackedC3(cfg.c_stem, cfg.repeats(1), dtype=dt,
                          name="bb_p3_c3a")(x, train)
-            x = GPackedConvBNSiLU(cfg.c_p3, 3, 2, packed_in=2, packed_out=1,
+            x = GPackedConvBNSiLU(cfg.c_p3, 3, 2, packed_in=2,
+                                  packed_out=2 if p3_packed else 1,
                                   use_bias=True, dtype=dt,
                                   name="bb_p3_down")(x, train)
         else:
@@ -136,12 +142,18 @@ class YOLO(nn.Module):
                 x, train)
             x = ConvBNSiLU(cfg.c_p3, 3, 2, use_bias=True, dtype=dt,
                            name="bb_p3_down")(x, train)
-        p3_backbone = C3(cfg.c_p3, cfg.repeats(2), dtype=dt, name="bb_p3_c3b")(x, train)
-
-        # P4: stride 8 -> 16 (reference: train.py:412-415)
-        x = ConvBNSiLU(cfg.c_p4, 3, 2, use_bias=True, dtype=dt, name="bb_p4_down")(
-            p3_backbone, train
-        )
+        if p3_packed:
+            p3_backbone = PackedC3(cfg.c_p3, cfg.repeats(2), dtype=dt,
+                                   name="bb_p3_c3b")(x, train)
+            x = GPackedConvBNSiLU(cfg.c_p4, 3, 2, packed_in=2, packed_out=1,
+                                  use_bias=True, dtype=dt,
+                                  name="bb_p4_down")(p3_backbone, train)
+        else:
+            p3_backbone = C3(cfg.c_p3, cfg.repeats(2), dtype=dt,
+                             name="bb_p3_c3b")(x, train)
+            # P4: stride 8 -> 16 (reference: train.py:412-415)
+            x = ConvBNSiLU(cfg.c_p4, 3, 2, use_bias=True, dtype=dt,
+                           name="bb_p4_down")(p3_backbone, train)
         p4_backbone = C3(cfg.c_p4, cfg.repeats(2), dtype=dt, name="bb_p4_c3")(x, train)
 
         # P5: stride 16 -> 32 + SPPF (reference: train.py:417-422)
@@ -155,9 +167,15 @@ class YOLO(nn.Module):
         p4_lateral = ConvBNSiLU(cfg.c_p4, 1, dtype=dt, name="lateral_p4")(
             p4_backbone, train
         )
-        p3_lateral = ConvBNSiLU(cfg.c_p3, 1, dtype=dt, name="lateral_p3")(
-            p3_backbone, train
-        )
+        if p3_packed:
+            p3_lateral = GPackedConvBNSiLU(cfg.c_p3, 1, 1, packed_in=2,
+                                           packed_out=2, dtype=dt,
+                                           name="lateral_p3")(
+                p3_backbone, train)
+        else:
+            p3_lateral = ConvBNSiLU(cfg.c_p3, 1, dtype=dt, name="lateral_p3")(
+                p3_backbone, train
+            )
 
         p5_red = ConvBNSiLU(cfg.c_p4, 1, dtype=dt, name="reduce_p5_for_p4")(
             p5_backbone, train
@@ -169,14 +187,33 @@ class YOLO(nn.Module):
         p4_red = ConvBNSiLU(cfg.c_p3, 1, dtype=dt, name="reduce_p4_for_p3")(
             p4_fpn, train
         )
-        p3_fpn = C3(cfg.c_p3, cfg.repeats(1), dtype=dt, name="merge_p3")(
-            jnp.concatenate([upsample_nearest_2x(p4_red), p3_lateral], axis=-1), train
-        )
+        if p3_packed:
+            # 2x nearest upsample in 2x2-packed layout: every output
+            # phase (a, b) of packed cell (i, j) reads source (i, j) —
+            # the packed upsample is a pure channel tile (phase-major),
+            # exactly pack_s2d(upsample_nearest_2x(y))
+            up = jnp.concatenate([p4_red] * 4, axis=-1)
+            p3_fpn = PackedC3(
+                cfg.c_p3, cfg.repeats(1),
+                in_segments=((2, cfg.c_p3), (2, cfg.c_p3)), dtype=dt,
+                name="merge_p3")(
+                jnp.concatenate([up, p3_lateral], axis=-1), train)
+            p3_head_in = unpack_s2d(p3_fpn, 2)
+        else:
+            p3_fpn = C3(cfg.c_p3, cfg.repeats(1), dtype=dt, name="merge_p3")(
+                jnp.concatenate([upsample_nearest_2x(p4_red), p3_lateral], axis=-1), train
+            )
+            p3_head_in = p3_fpn
 
         # ===== PANet bottom-up (reference: train.py:442-447, 591-598) =====
-        p3_down = ConvBNSiLU(cfg.c_p3, 3, 2, dtype=dt, name="downsample_p3_to_p4")(
-            p3_fpn, train
-        )
+        if p3_packed:
+            p3_down = GPackedConvBNSiLU(cfg.c_p3, 3, 2, packed_in=2,
+                                        packed_out=1, dtype=dt,
+                                        name="downsample_p3_to_p4")(
+                p3_fpn, train)
+        else:
+            p3_down = ConvBNSiLU(cfg.c_p3, 3, 2, dtype=dt,
+                                 name="downsample_p3_to_p4")(p3_fpn, train)
         p4_panet = C3(cfg.c_p4, cfg.repeats(1), dtype=dt, name="panet_merge_p4")(
             jnp.concatenate([p3_down, p4_fpn], axis=-1), train
         )
@@ -196,7 +233,7 @@ class YOLO(nn.Module):
             from yolo_from_scratch_tpu.models.anchor_free import DecoupledHead
 
             out_p3 = DecoupledHead(cfg.c_p3, nc, dtype=dt, name="head_p3")(
-                p3_fpn, train
+                p3_head_in, train
             )
             out_p4 = DecoupledHead(cfg.c_p4, nc, dtype=dt, name="head_p4")(
                 p4_panet, train
@@ -206,7 +243,7 @@ class YOLO(nn.Module):
             )
         else:
             out_p3 = DetectHead(cfg.c_p3, na, nc, dtype=dt, name="head_p3")(
-                p3_fpn, train
+                p3_head_in, train
             )
             out_p4 = DetectHead(cfg.c_p4, na, nc, dtype=dt, name="head_p4")(
                 p4_panet, train
