@@ -314,12 +314,14 @@ def main():
     cfg = YoloConfig(num_classes=1, img_size=IMG, compute_dtype=dtype)
 
     # Train in the space-to-depth packed layout (models/packed.py) —
-    # stem AND first-C3-stage interior packing: numerically equivalent,
-    # checkpoint-interchangeable, measured 934 -> 1373 img/s @b8 on v5e
-    # (stagebench). BENCH_PACKED=0 opts out.
+    # stem + first-C3-stage interior + whole-P3-level packing:
+    # numerically equivalent, checkpoint-interchangeable, measured
+    # 934 -> 1258 -> 1335 img/s @b8 on v5e (stem -> interior -> p3,
+    # same-session A/B 2026-08-19). BENCH_PACKED=0 opts out.
     packed = os.environ.get("BENCH_PACKED", "1") != "0"
     train_ips = bench_train(cfg.with_(packed_stem=packed,
-                                      packed_interior=packed))
+                                      packed_interior=packed,
+                                      packed_p3=packed))
     log(f"train ({dtype}{', packed' if packed else ''}): "
         f"{train_ips:.2f} img/s/chip @ {IMG}x{IMG} batch {BATCH}")
 

@@ -40,6 +40,9 @@ def main():
     ap.add_argument("--packed-interior", action="store_true",
                     help="extend packing through the first C3 stage "
                          "(models/packed.py; implies --packed-stem)")
+    ap.add_argument("--packed-p3", action="store_true",
+                    help="extend packing through the whole 80x80 P3 "
+                         "level (implies --packed-interior)")
     ap.add_argument("--size", default="s", choices=["n", "s", "m", "l", "x"])
     ap.add_argument("--mxu-only", action="store_true",
                     help="with --int8: quantize only the MXU-bound 3x3 "
@@ -55,8 +58,10 @@ def main():
 
     cfg = YoloConfig(num_classes=1, img_size=a.img_size,
                      compute_dtype="bfloat16",
-                     packed_stem=a.packed_stem or a.packed_interior,
-                     packed_interior=a.packed_interior,
+                     packed_stem=(a.packed_stem or a.packed_interior
+                                  or a.packed_p3),
+                     packed_interior=a.packed_interior or a.packed_p3,
+                     packed_p3=a.packed_p3,
                      **YOLO_SIZES[a.size])
     model = YOLO(cfg)
     rng = np.random.default_rng(0)
@@ -78,6 +83,7 @@ def main():
     k = a.topk or default_topk(cfg.img_size)
     log(f"backend: {jax.devices()[0]}  B={a.batch} @{a.img_size} "
         f"packed={cfg.packed_stem} interior={cfg.packed_interior} "
+        f"p3={cfg.packed_p3} "
         f"topk={k}")
 
     # stage 1: forward only
