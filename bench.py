@@ -364,7 +364,8 @@ def main():
     # (BASELINE.md). The ≥5x target is 53 img/s.
     try:
         batch_ips = bench_batch_infer(cfg.with_(packed_stem=packed,
-                                                packed_interior=packed))
+                                                packed_interior=packed,
+                                                packed_p3=packed))
         log(f"batched inference (B=32, fwd+decode+Pallas NMS): "
             f"{batch_ips:.1f} img/s ({batch_ips / 10.6:.1f}x reference)")
         extra["infer_batch32_images_per_sec"] = round(batch_ips, 1)
@@ -377,7 +378,8 @@ def main():
         return
     try:
         infer_p50 = bench_infer(cfg.with_(packed_stem=packed,
-                                          packed_interior=packed))
+                                          packed_interior=packed,
+                                          packed_p3=packed))
         log(f"infer p50 (device fwd+decode+NMS): {infer_p50 * 1000:.2f} ms "
             f"({1 / infer_p50:.1f} img/s)")
         extra["infer_single_image_p50_ms"] = round(infer_p50 * 1000, 2)

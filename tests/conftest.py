@@ -55,6 +55,7 @@ SLOW_TESTS = {
     "tests/test_cli.py::test_compact_mosaic_flag_guards",
     "tests/test_cli.py::test_compact_targets_train_with_mosaic",
     "tests/test_cli.py::test_packed_stem_train_eval_roundtrip",
+    "tests/test_cli.py::test_val_det_epoch_metric",
     "tests/test_configs.py::test_jit_vs_eager_loss_parity",
     "tests/test_convergence.py::test_model_learns_to_detect",
     "tests/test_ema.py::test_ema_inside_jit_with_train_step",

@@ -135,6 +135,25 @@ def test_packed_stem_train_eval_roundtrip(temp_dataset_dir, trained_ckpt,
     assert "F1 Score:" in ev2.stdout
 
 
+def test_val_det_epoch_metric(temp_dataset_dir, tmp_path_factory):
+    """--val-det appends detection-level P/R/F1 (NMS output vs GT) to
+    every epoch line — the honest per-epoch metric for the anchor-free
+    TAL head (train/map_eval.py::evaluate_det_prf1); the grid P/R/F1
+    keeps the reference stdout contract alongside it."""
+    workdir = tmp_path_factory.mktemp("cli_valdet")
+    result = run_cli(
+        [str(temp_dataset_dir / "dataset.yaml"), "--epochs", "1", "--size",
+         "n", "--img-size", "128", "--batch-size", "5", "--val-det",
+         "--head", "anchor_free", "--compact-targets"],
+        cwd=workdir,
+    )
+    assert result.returncode == 0, result.stderr[-2000:]
+    epoch_line = next(l for l in result.stdout.splitlines()
+                      if l.startswith("Epoch 1:"))
+    assert "Val: Loss" in epoch_line        # reference contract intact
+    assert "Det: P" in epoch_line and "F1" in epoch_line
+
+
 def test_compact_mosaic_flag_guards(temp_dataset_dir):
     """--device-mosaic needs --compact-targets; --compact-targets rejects
     host-side --augment (both fail fast, before any compile)."""

@@ -192,6 +192,13 @@ def build_parser():
                              "mAP@0.5 and mAP@[.5:.95] over the NMS "
                              "inference path (beyond the reference's "
                              "grid-aligned P/R/F1)")
+    parser.add_argument("--val-det", action="store_true",
+                        help="Train mode: additionally report DETECTION-"
+                             "level P/R/F1 @conf0.5 (NMS output vs GT) on "
+                             "the val split every epoch — the honest "
+                             "per-epoch metric for --head anchor_free, "
+                             "whose cell-aligned grid P/R/F1 understates "
+                             "TAL-trained models")
     parser.add_argument("--device-letterbox", action="store_true",
                         help="Inference/--map: run letterbox resize+pad on "
                              "the TPU fused with forward+NMS (host only "
@@ -784,6 +791,38 @@ def main(argv=None):
                       f" of params channel-sharded "
                       f"{mesh.shape['model']}-way")
 
+            det_eval = None
+            if args.val_det:
+                if args.distributed and jax.process_count() > 1:
+                    print("NOTE: --val-det is single-process; skipped "
+                          "under --distributed (use eval mode --map for "
+                          "detection metrics)")
+                else:
+                    from yolo_from_scratch_tpu.infer.predict import (
+                        BatchPredictor,
+                    )
+                    from yolo_from_scratch_tpu.train.map_eval import (
+                        evaluate_det_prf1,
+                    )
+
+                    val_det_ds = val_loader.dataset
+                    _det_pred = {}
+
+                    def det_eval(params, batch_stats):
+                        # device_get: params may be mesh-sharded; the
+                        # predictor's jitted program re-places them
+                        variables = {
+                            "params": jax.device_get(params),
+                            "batch_stats": jax.device_get(batch_stats),
+                        }
+                        pred = _det_pred.get("p")
+                        if pred is None:  # compile once, swap weights after
+                            _det_pred["p"] = pred = BatchPredictor(
+                                variables, cfg, conf_threshold=0.5)
+                        else:
+                            pred.variables = variables
+                        return evaluate_det_prf1(pred, val_det_ds)
+
             state, save_path = fit(
                 state, train_step, eval_step, train_loader,
                 val_loader, cfg, epochs=args.epochs, initial_lr=args.lr,
@@ -792,6 +831,7 @@ def main(argv=None):
                 save_path=save_path, use_ema=args.ema,
                 initial_ema=resume_ema if args.resume else None,
                 multi_scale=multi_scale, stream=stream,
+                det_eval=det_eval,
             )
             print(f"\nTraining complete. Model saved to {save_path}")
     else:

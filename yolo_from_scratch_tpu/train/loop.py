@@ -133,6 +133,7 @@ def fit(
     initial_ema=None,
     multi_scale=None,
     stream=None,
+    det_eval=None,
 ):
     """Full training driver (reference: train.py:1520-1545): per-epoch
     train + eval + checkpoint + LR step. Returns (state, save_path).
@@ -151,6 +152,14 @@ def fit(
     scanned out-of-HBM path over the disk cache — and `train_loader` is
     unused. Eval still runs through `val_loader` every epoch. Mutually
     exclusive with `use_ema`/`multi_scale` (the CLI guards this).
+
+    `det_eval`: optional callable (params, batch_stats) -> (P%, R%, F1%)
+    computing DETECTION-level metrics (NMS output vs GT at a fixed conf
+    operating point) on the val split — appended to the epoch line and
+    the metrics JSONL. This is the honest per-epoch metric for the
+    anchor-free TAL head, whose cell-aligned grid P/R/F1 understates it
+    (train/metrics.py caveat); the grid numbers keep the reference's
+    stdout contract either way.
 
     `multi_scale`: optional list of (train_step, train_loader) pairs, one
     per resolution bucket — epoch e trains with pair e % len (YOLOv5-style
@@ -230,13 +239,20 @@ def fit(
             eval_step, eval_params, eval_stats, val_loader, mesh
         )
 
+        det = None
+        if det_eval is not None:
+            det = det_eval(eval_params, eval_stats)
+
         ingest = (f" | ingest {ingest_img_s:.1f} img/s"
                   if ingest_img_s is not None else "")
+        det_str = (f" | Det: P {det[0]:.1f}%, R {det[1]:.1f}%, "
+                   f"F1 {det[2]:.1f}%" if det is not None else "")
         log(
             f"Epoch {epoch + 1}: "
             f"Loss: {loss:.4f} (bbox: {bbox:.4f}, obj: {obj:.4f}, cls: {cls:.4f}) | "
             f"Val: Loss {val_loss:.4f}, P {val_p:.1f}%, R {val_r:.1f}%, "
-            f"F1 {val_f1:.1f}% | LR: {lr:.6f} | {n_imgs / max(dt, 1e-9):.1f} img/s"
+            f"F1 {val_f1:.1f}%{det_str} | LR: {lr:.6f} | "
+            f"{n_imgs / max(dt, 1e-9):.1f} img/s"
             f"{ingest}"
         )
         record = {
@@ -245,6 +261,9 @@ def fit(
             "val_recall": val_r, "val_f1": val_f1, "lr": lr,
             "images_per_sec": n_imgs / max(dt, 1e-9),
         }
+        if det is not None:
+            record["det_precision"], record["det_recall"], \
+                record["det_f1"] = det
         if ingest_img_s is not None:
             record["ingest_images_per_sec"] = ingest_img_s
         metrics_logger.log(record)

@@ -187,6 +187,29 @@ def evaluate_map(predictor, dataset, max_images=None, num_classes=1,
     recompiles for a ragged remainder) — on large val sets this is the
     difference between minutes and hours.
     """
+    detections, gts = _collect_dets_and_gts(
+        predictor, dataset, max_images, batch_size)
+    out = coco_map(detections, gts, num_classes)
+    p, r, f1 = detection_prf1(detections, gts)
+    out.update({"det_precision": p, "det_recall": r, "det_f1": f1})
+    return out
+
+
+def evaluate_det_prf1(predictor, dataset, max_images=None, batch_size=16,
+                      conf_threshold=0.5):
+    """Detection-level P/R/F1 only (no PR-curve integration) — the lean
+    per-epoch variant of `evaluate_map` for `fit(det_eval=...)`. Returns
+    (P%, R%, F1%)."""
+    detections, gts = _collect_dets_and_gts(
+        predictor, dataset, max_images, batch_size)
+    return detection_prf1(detections, gts, conf_threshold=conf_threshold)
+
+
+def _collect_dets_and_gts(predictor, dataset, max_images=None,
+                          batch_size=16):
+    """Run the predictor over a YoloDataset's images; read GT from its
+    label files in ORIGINAL image coordinates (the predictor outputs
+    original coords, so no letterbox mapping is needed)."""
     from PIL import Image
 
     from yolo_from_scratch_tpu.data.dataset import parse_label_file
@@ -218,7 +241,4 @@ def evaluate_map(predictor, dataset, max_images=None, num_classes=1,
                 (cx + bw / 2) * w, (cy + bh / 2) * h,
             ))
         gts.append(gt)
-    out = coco_map(detections, gts, num_classes)
-    p, r, f1 = detection_prf1(detections, gts)
-    out.update({"det_precision": p, "det_recall": r, "det_f1": f1})
-    return out
+    return detections, gts
