@@ -95,7 +95,8 @@ def run(spec, lr=5e-3, batch=8, stage="all", augment=False, mosaic=False,
 
     cfg = YoloConfig(
         num_classes=spec["num_classes"], img_size=spec["img_size"],
-        compute_dtype="bfloat16", packed_stem=True,
+        compute_dtype="bfloat16", packed_stem=True, packed_interior=True,
+        packed_p3=True,
         **({"anchors": anchors} if anchors is not None else {}),
     )
     ds = YoloDataset(f"{root}/train/images", cfg.num_classes,
