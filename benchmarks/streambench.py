@@ -109,7 +109,8 @@ if __name__ == "__main__":
         make_dataset(root, n_train, 1, img, seed=0, num_classes=nc,
                      n_min=2, n_max=6)
     cfg = YoloConfig(num_classes=nc, img_size=img,
-                     compute_dtype="bfloat16", packed_stem=True)
+                     compute_dtype="bfloat16", packed_stem=True,
+                     packed_interior=True, packed_p3=True)
     print(f"streambench: nc={nc} @{img}, {n_train} imgs, batch {batch}, "
           f"{epochs} timed epochs, backend="
           f"{jax.devices()[0].platform}", flush=True)
