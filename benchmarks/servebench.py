@@ -47,6 +47,9 @@ def main():
     ap.add_argument("--mxu-only", action="store_true",
                     help="with --int8: quantize only the MXU-bound 3x3 "
                          "convs (HBM-bound 1x1s stay bf16)")
+    ap.add_argument("--approx-topk", action="store_true",
+                    help="use the TPU-native binned approx_max_k prefilter "
+                         "(recall 0.95) instead of the exact sort")
     ap.add_argument("--topk", type=int, default=None,
                     help="NMS candidate capacity (default: "
                          "default_topk's 4096 @640; 1024 measured +28%% "
@@ -116,11 +119,13 @@ def main():
         f"(decode {1e3 * (t2 - t1):+.2f})")
 
     # stage 3: + score mask + per-image top-k
+    from yolo_from_scratch_tpu.infer.predict import _topk_fn
+
     def topk(x):
         boxes, obj, cls = decode_flat(x)
         conf = obj * cls[..., 0]
         score = jnp.where(obj > 0.5, conf, NEG_INF)
-        top_scores, idx = jax.lax.top_k(score, k)
+        top_scores, idx = _topk_fn(a.approx_topk)(score, k)
         return _dep(x, (top_scores, jnp.take_along_axis(
             boxes, idx[..., None], axis=1)))
 
@@ -133,7 +138,8 @@ def main():
 
     post = make_batch_postprocess(model, cfg, conf_threshold=0.5,
                                   iou_threshold=0.4, topk=a.topk,
-                                  max_outputs=300)
+                                  max_outputs=300,
+                                  approx_topk=a.approx_topk)
     ones = jnp.ones(a.batch, jnp.float32)
     zeros = jnp.zeros(a.batch, jnp.float32)
 

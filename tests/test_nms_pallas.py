@@ -98,6 +98,30 @@ def test_batched_grid_matches_per_image_lax():
         np.testing.assert_array_equal(got[i], exp)
 
 
+def test_presorted_fast_path_matches_unsorted():
+    """presorted=True on score-sorted input must equal the sorting path
+    (the serving chain feeds lax.top_k output straight to the kernel)."""
+    from yolo_from_scratch_tpu.ops.nms_pallas import (
+        nms_keep_mask_pallas_batched,
+    )
+
+    b, n = 3, 200
+    boxes = np.stack([_random_boxes(s + 20, n)[0] for s in range(b)])
+    scores = np.stack([_random_boxes(s + 20, n)[1] for s in range(b)])
+    scores[1, 170:] = NEG_INF  # padding rows sort to the tail
+    order = np.argsort(-scores, axis=1)
+    boxes_s = np.take_along_axis(boxes, order[..., None], axis=1)
+    scores_s = np.take_along_axis(scores, order, axis=1)
+    fast = np.asarray(nms_keep_mask_pallas_batched(
+        jnp.asarray(boxes_s), jnp.asarray(scores_s), 0.5, interpret=True,
+        presorted=True,
+    ))
+    slow = np.asarray(nms_keep_mask_pallas_batched(
+        jnp.asarray(boxes_s), jnp.asarray(scores_s), 0.5, interpret=True,
+    ))
+    np.testing.assert_array_equal(fast, slow)
+
+
 def test_batched_images_class_aware_matches_lax():
     from yolo_from_scratch_tpu.ops.nms_pallas import (
         batched_nms_fixed_pallas_images,

@@ -36,9 +36,24 @@ def default_topk(img_size: int, preds_per_cell: int = 3) -> int:
     return min(total, 4096)
 
 
+def _topk_fn(approx_topk):
+    """Candidate selection for the NMS prefilter. Exact `lax.top_k` is the
+    default (bit-parity with the reference's 'every above-threshold box'
+    semantics under the capacity plan). `approx_topk=True` swaps in the
+    TPU-native binned `lax.approx_max_k` (recall_target 0.95 over the true
+    top-k) — a serving throughput knob: the conf gate means candidates
+    beyond the real detections are NEG_INF padding, so the approximation
+    only matters in scenes with more above-threshold boxes than k."""
+    if approx_topk:
+        return lambda score, k: jax.lax.approx_max_k(
+            score, k, recall_target=0.95
+        )
+    return jax.lax.top_k
+
+
 def make_postprocess(model: YOLO, cfg: YoloConfig, conf_threshold=0.5,
                      iou_threshold=0.4, topk=None, max_outputs=None,
-                     use_pallas_nms=None, apply_fn=None):
+                     use_pallas_nms=None, apply_fn=None, approx_topk=False):
     """Build the jitted forward+postprocess:
     (variables, img (1,S,S,3), scale, pad_top, pad_left)
       -> (boxes (K,4) px orig-image, scores (K,), classes (K,), valid (K,)).
@@ -58,9 +73,16 @@ def make_postprocess(model: YOLO, cfg: YoloConfig, conf_threshold=0.5,
         # the Pallas kernel uses the Mosaic TPU lowering — TPU only
         use_pallas_nms = jax.devices()[0].platform == "tpu"
     if use_pallas_nms:
+        import functools
+
         from yolo_from_scratch_tpu.ops.nms_pallas import (
-            batched_nms_fixed_pallas as nms_fn,
+            batched_nms_fixed_pallas,
         )
+
+        # candidates arrive straight out of lax.top_k (descending), so the
+        # kernel can skip its sort + unsort scatter — exact, see
+        # nms_keep_mask_pallas_batched(presorted=...)
+        nms_fn = functools.partial(batched_nms_fixed_pallas, presorted=True)
     else:
         nms_fn = batched_nms_fixed
 
@@ -124,7 +146,7 @@ def make_postprocess(model: YOLO, cfg: YoloConfig, conf_threshold=0.5,
         corners = jnp.stack([x1, y1, x2, y2], axis=1)
 
         # static top-k prefilter feeding the fixed-shape NMS kernel
-        top_scores, idx = jax.lax.top_k(score, k)
+        top_scores, idx = _topk_fn(approx_topk)(score, k)
         return nms_fn(
             corners[idx], top_scores, cls_id[idx], iou_threshold, max_out
         )
@@ -134,7 +156,8 @@ def make_postprocess(model: YOLO, cfg: YoloConfig, conf_threshold=0.5,
 
 def make_batch_postprocess(model: YOLO, cfg: YoloConfig, conf_threshold=0.5,
                            iou_threshold=0.4, topk=None, max_outputs=300,
-                           use_pallas_nms=None, apply_fn=None):
+                           use_pallas_nms=None, apply_fn=None,
+                           approx_topk=False):
     """Batched serving path: (variables, imgs (B, S, S, 3), scales (B,),
     pad_tops (B,), pad_lefts (B,)) -> per-image fixed-shape detections
     (boxes (B, K, 4), scores (B, K), classes (B, K), valid (B, K)).
@@ -156,8 +179,16 @@ def make_batch_postprocess(model: YOLO, cfg: YoloConfig, conf_threshold=0.5,
     if use_pallas_nms is None:
         use_pallas_nms = jax.devices()[0].platform == "tpu"
     if use_pallas_nms:
+        import functools
+
         from yolo_from_scratch_tpu.ops.nms_pallas import (
-            batched_nms_fixed_pallas_images as batch_nms_fn,
+            batched_nms_fixed_pallas_images,
+        )
+
+        # per-image candidates arrive sorted from lax.top_k — skip the
+        # kernel-side sort (exact; stable argsort of sorted == identity)
+        batch_nms_fn = functools.partial(
+            batched_nms_fixed_pallas_images, presorted=True
         )
     else:
         batch_nms_fn = jax.vmap(
@@ -187,7 +218,7 @@ def make_batch_postprocess(model: YOLO, cfg: YoloConfig, conf_threshold=0.5,
         y2 = (cy + h / 2 - pad_top) / scale
         corners = jnp.stack([x1, y1, x2, y2], axis=1)
 
-        top_scores, idx = jax.lax.top_k(score, k)
+        top_scores, idx = _topk_fn(approx_topk)(score, k)
         return corners[idx], top_scores, cls_id[idx]
 
     forward = apply_fn or (lambda v, im: model.apply(v, im, train=False))
@@ -389,11 +420,14 @@ class BatchPredictor:
 
     def __init__(self, variables, cfg: YoloConfig, conf_threshold=0.5,
                  iou_threshold=0.4, max_outputs=300, device_letterbox=False,
-                 topk=None, quantize_calib=None):
+                 topk=None, quantize_calib=None, approx_topk=False):
         # topk: NMS candidate capacity per image (default: the
         # capacity-planned `default_topk`, 4096 @640). 1024 measures +28%
         # serving throughput at conf 0.5 with no realistic-scene loss
         # (BASELINE.md serving stage split).
+        # approx_topk: TPU-native binned approx_max_k prefilter (recall
+        # 0.95) instead of the exact sort — a throughput knob, see
+        # `_topk_fn`.
         # quantize_calib: list of images -> serve the int8 PTQ path
         # (infer/quantize.py) calibrated on them.
         self.cfg = cfg
@@ -413,6 +447,7 @@ class BatchPredictor:
         self._post = make_batch_postprocess(
             self.model, cfg, conf_threshold, iou_threshold, topk=topk,
             max_outputs=max_outputs, apply_fn=apply_fn,
+            approx_topk=approx_topk,
         )
         if device_letterbox:
             # see Predictor: unpacked graph behind the device letterbox
@@ -420,7 +455,8 @@ class BatchPredictor:
             self._post_lb = _wrap_device_letterbox(
                 make_batch_postprocess(YOLO(lb_cfg), lb_cfg, conf_threshold,
                                        iou_threshold, topk=topk,
-                                       max_outputs=max_outputs),
+                                       max_outputs=max_outputs,
+                                       approx_topk=approx_topk),
                 cfg.img_size)
 
     def __call__(self, images):
