@@ -19,6 +19,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from yolo_from_scratch_tpu.models.fused_bn import BNSiLU
+
 BN_MOMENTUM = 0.9  # flax momentum == 1 - torch momentum(0.1)
 BN_EPS = 1e-5
 
@@ -70,15 +72,11 @@ class ConvBNSiLU(nn.Module):
             bias_init=torch_bias_init_for(fan_in),
             name="conv",
         )(x)
-        x = nn.BatchNorm(
-            use_running_average=not train,
-            momentum=BN_MOMENTUM,
-            epsilon=BN_EPS,
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-            name="bn",
-        )(x)
-        return nn.silu(x)
+        # BatchNorm+SiLU tail with a memory-lean fused backward in train
+        # mode (models/fused_bn.py); identical params/stats/numerics to
+        # flax BatchNorm -> nn.silu.
+        return BNSiLU(momentum=BN_MOMENTUM, epsilon=BN_EPS,
+                      dtype=self.dtype, name="bn")(x, train)
 
 
 class Bottleneck(nn.Module):

@@ -42,6 +42,7 @@ from yolo_from_scratch_tpu.models.blocks import (
     torch_bias_init_for,
     torch_kernel_init,
 )
+from yolo_from_scratch_tpu.models.fused_bn import BNSiLU
 
 PACK_FACTOR = 4  # the model input's space-to-depth factor when packed
 
@@ -212,8 +213,8 @@ class GPackedConvBNSiLU(nn.Module):
                 x.shape, wp.shape, ("NHWC", "HWIO", "NHWC")))
         if bias is not None:
             y = y + jnp.tile(bias, fo * fo).astype(self.dtype)
-        y = _PackedBN(cout, fo * fo, dtype=self.dtype, name="bn")(y, train)
-        return nn.silu(y)
+        return BNSiLU(features=cout, phases=fo * fo, dtype=self.dtype,
+                      name="bn")(y, train)
 
 
 class PackedBottleneck(nn.Module):
@@ -301,8 +302,8 @@ class PackedConvBNSiLU(nn.Module):
             dimension_numbers=dn)
         if bias is not None:
             y = y + jnp.tile(bias, fo * fo).astype(self.dtype)
-        y = _PackedBN(cout, fo * fo, dtype=self.dtype, name="bn")(y, train)
-        return nn.silu(y)
+        return BNSiLU(features=cout, phases=fo * fo, dtype=self.dtype,
+                      name="bn")(y, train)
 
 
 class _ConvParams(nn.Module):
