@@ -185,9 +185,10 @@ def test_quantize_rejects_device_letterbox(cfg, model_and_vars):
 
 
 def test_quant_with_packed_stem(cfg, model_and_vars):
-    """--packed-stem + --int8 compose: the packed stem modules stay float
-    (PackedConvBNSiLU is not intercepted) and every other conv quantizes;
-    probabilities match the float packed forward."""
+    """--packed-stem + --int8 compose: the packed stem modules calibrate
+    and quantize too (canonical int8 kernels repack exactly); stem0 stays
+    float by the default skip (first-layer practice); probabilities match
+    the float packed forward."""
     from yolo_from_scratch_tpu.models.packed import pack_s2d_host
     from yolo_from_scratch_tpu.models.yolo import YOLO
 
@@ -199,15 +200,52 @@ def test_quant_with_packed_stem(cfg, model_and_vars):
     )
     packed = jnp.asarray(pack_s2d_host(imgs))
     scales = Q.calibrate(pmodel, variables, [packed])
-    assert "stem0" not in scales and "stem1" not in scales
-    assert len(scales) == 57
+    assert "stem0" in scales and "stem1" in scales
+    assert len(scales) == 59
     bundle, qapply = Q.quantize_model(pmodel, variables, [packed])
+    assert "stem0" not in bundle[1] and "stem1" in bundle[1]
     preds_f = pmodel.apply(variables, packed, train=False)
     preds_q = qapply(bundle, packed)
     for pf, pq in zip(preds_f, preds_q):
         prob_f = jax.nn.sigmoid(pf[..., 4:])
         prob_q = jax.nn.sigmoid(pq[..., 4:])
         assert float(jnp.max(jnp.abs(prob_f - prob_q))) < 2e-3
+
+
+def test_quant_packed_p3_matches_unpacked_int8(cfg, model_and_vars):
+    """The packed-p3 int8 graph must reproduce the unpacked int8 graph:
+    identical canonical int8 kernels + exact kernel repacking + exact
+    int32 accumulation. (Float stem0 accumulates in a different order
+    under packing, so the match is at probability level, not bitwise.)"""
+    from yolo_from_scratch_tpu.models.packed import pack_s2d_host
+    from yolo_from_scratch_tpu.models.yolo import YOLO
+
+    model, variables = model_and_vars
+    pcfg = cfg.with_(packed_stem=True, packed_interior=True, packed_p3=True)
+    pmodel = YOLO(pcfg)
+    imgs = np.random.default_rng(13).random(
+        (2, cfg.img_size, cfg.img_size, 3), np.float32
+    )
+    packed = jnp.asarray(pack_s2d_host(imgs))
+    flat = jnp.asarray(imgs)
+
+    bundle_u, qapply_u = Q.quantize_model(model, variables, [flat])
+    bundle_p, qapply_p = Q.quantize_model(pmodel, variables, [packed])
+    # same canonical quantization regardless of layout
+    assert set(bundle_u[1]) == set(bundle_p[1])
+    for key in bundle_u[1]:
+        np.testing.assert_array_equal(bundle_u[1][key]["w_int8"],
+                                      bundle_p[1][key]["w_int8"])
+        np.testing.assert_allclose(float(bundle_u[1][key]["a_scale"]),
+                                   float(bundle_p[1][key]["a_scale"]),
+                                   rtol=1e-6)
+
+    preds_u = qapply_u(bundle_u, flat)
+    preds_p = qapply_p(bundle_p, packed)
+    for pu, pp in zip(preds_u, preds_p):
+        prob_u = jax.nn.sigmoid(pu[..., 4:])
+        prob_p = jax.nn.sigmoid(pp[..., 4:])
+        assert float(jnp.max(jnp.abs(prob_u - prob_p))) < 2e-3
 
 
 def test_quant_anchor_free_head(cfg, model_and_vars):

@@ -15,10 +15,12 @@ definition:
   running representative images through the float model and recording
   each conv input's abs-max.
 - **Execution**: `flax.linen.intercept_methods` swaps every ConvBNSiLU
-  call for round/clip -> int8 conv (int32 accumulate on the MXU) ->
-  per-channel dequant + folded bias -> SiLU, at trace time. The model
-  graph (models/yolo.py) is never duplicated or modified; the final
-  per-head 1x1 `pred` conv and the packed stem stay float (standard
+  call — including the packed-layout blocks (GPackedConvBNSiLU /
+  PackedConvBNSiLU, whose canonical int8 kernels repack exactly) — for
+  round/clip -> int8 conv (int32 accumulate on the MXU) -> per-channel
+  dequant + folded bias -> SiLU, at trace time. The model graph
+  (models/yolo.py) is never duplicated or modified; the first conv
+  ("stem0") and the per-head 1x1 `pred` convs stay float (standard
   first/last-layer practice, and both are a tiny FLOP share).
 
 The quantized state is a flat pytree {path: {w_int8, w_scale, bias,
@@ -33,10 +35,24 @@ import numpy as np
 from flax import linen as nn
 
 from yolo_from_scratch_tpu.models.blocks import BN_EPS, ConvBNSiLU
+from yolo_from_scratch_tpu.models.packed import (
+    GPackedConvBNSiLU,
+    PackedConvBNSiLU,
+    pack_conv_kernel,
+    repack_conv_kernel,
+)
+
+# The packed-layout conv blocks (models/packed.py) hold the SAME canonical
+# (k, k, cin, cout) parameters as ConvBNSiLU and repack them at trace
+# time. Repacking is a pure rearrangement (with zero taps), so an int8
+# canonical kernel repacks into an exact int8 packed kernel, and the
+# int32 MXU accumulation makes the packed int8 graph bit-identical to
+# the unpacked int8 graph (tests/test_quantize.py).
+_QUANT_MODULE_TYPES = (ConvBNSiLU, GPackedConvBNSiLU, PackedConvBNSiLU)
 
 
 def _is_conv_call(context):
-    return (isinstance(context.module, ConvBNSiLU)
+    return (isinstance(context.module, _QUANT_MODULE_TYPES)
             and context.method_name == "__call__")
 
 
@@ -147,6 +163,34 @@ def quantize_params(variables, a_scales, skip=(), select=None):
     return qtree
 
 
+def _quant_input(x, q, dt):
+    """Per-tensor symmetric int8 activation quantization in the compute
+    dtype (quantized integers ≤127 are exact in bf16)."""
+    inv = (1.0 / q["a_scale"]).astype(dt)
+    return jnp.clip(jnp.round(x.astype(dt) * inv), -127, 127).astype(jnp.int8)
+
+
+def _int8_conv(xq, wq, strides, padding):
+    dn = jax.lax.conv_dimension_numbers(
+        xq.shape, wq.shape, ("NHWC", "HWIO", "NHWC")
+    )
+    return jax.lax.conv_general_dilated(
+        xq, wq, strides, padding, dimension_numbers=dn,
+        preferred_element_type=jnp.int32,
+    )
+
+
+def _dequant_silu(y, q, dt, phases=1):
+    """Per-out-channel dequant + folded bias + SiLU. The packed blocks'
+    output channels are phase-major tiles of the canonical couts, so the
+    per-channel vectors tile by `phases`."""
+    scale = (q["a_scale"] * q["w_scale"]).astype(dt)
+    bias = q["bias"].astype(dt)
+    if phases > 1:
+        scale, bias = jnp.tile(scale, phases), jnp.tile(bias, phases)
+    return nn.silu(y.astype(dt) * scale + bias).astype(dt)
+
+
 def _quant_conv_silu(x, q, mod):
     """int8 ConvBNSiLU body: quantize input, int8 conv (int32 MXU
     accumulate), per-channel dequant + folded bias, SiLU.
@@ -158,21 +202,45 @@ def _quant_conv_silu(x, q, mod):
     mantissa bits cover ±256), so rounding in bf16 costs at most the
     same ±0.5-unit noise the quantization itself already has."""
     dt = jnp.dtype(mod.dtype)
-    xf = x.astype(dt)
-    inv = (1.0 / q["a_scale"]).astype(dt)
-    xq = jnp.clip(jnp.round(xf * inv), -127, 127).astype(jnp.int8)
+    xq = _quant_input(x, q, dt)
     pad = mod.kernel // 2
-    dn = jax.lax.conv_dimension_numbers(
-        xq.shape, q["w_int8"].shape, ("NHWC", "HWIO", "NHWC")
-    )
-    y = jax.lax.conv_general_dilated(
-        xq, q["w_int8"], (mod.stride, mod.stride),
-        ((pad, pad), (pad, pad)), dimension_numbers=dn,
-        preferred_element_type=jnp.int32,
-    )
-    scale = (q["a_scale"] * q["w_scale"]).astype(dt)
-    yf = y.astype(dt) * scale + q["bias"].astype(dt)
-    return nn.silu(yf).astype(mod.dtype)
+    y = _int8_conv(xq, q["w_int8"], (mod.stride, mod.stride),
+                   ((pad, pad), (pad, pad)))
+    return _dequant_silu(y, q, dt)
+
+
+def _quant_gpacked_conv_silu(x, q, mod):
+    """int8 GPackedConvBNSiLU body: the canonical int8 kernel repacks
+    exactly (rearrangement with zero taps preserves int8 values);
+    everything else mirrors models/packed.py's float body."""
+    dt = jnp.dtype(mod.dtype)
+    fi, fo = mod.packed_in, mod.packed_out
+    segs = (mod.in_segments if mod.in_segments is not None
+            else ((fi, x.shape[-1] // (fi * fi)),))
+    wq, s_packed, pad = repack_conv_kernel(
+        q["w_int8"], mod.stride, fi, fo, in_segments=list(segs))
+    xq = _quant_input(x, q, dt)
+    y = _int8_conv(xq, wq, (s_packed, s_packed), (pad, pad))
+    return _dequant_silu(y, q, dt, phases=fo * fo)
+
+
+def _quant_packed_stem_conv_silu(x, q, mod):
+    """int8 PackedConvBNSiLU body (stride-2 3x3 in packed domain)."""
+    dt = jnp.dtype(mod.dtype)
+    fi = mod.packed_in
+    fo = fi // 2
+    wq = pack_conv_kernel(q["w_int8"], fi)
+    xq = _quant_input(x, q, dt)
+    y = _int8_conv(xq, wq, (1, 1), ((1, 0), (1, 0)))
+    return _dequant_silu(y, q, dt, phases=fo * fo)
+
+
+def _quant_body_for(module):
+    if isinstance(module, GPackedConvBNSiLU):
+        return _quant_gpacked_conv_silu
+    if isinstance(module, PackedConvBNSiLU):
+        return _quant_packed_stem_conv_silu
+    return _quant_conv_silu
 
 
 def make_quant_apply(model):
@@ -187,8 +255,8 @@ def make_quant_apply(model):
             if _is_conv_call(context):
                 key = "/".join(context.module.path)
                 if key in qtree:
-                    return _quant_conv_silu(args[0], qtree[key],
-                                            context.module)
+                    body = _quant_body_for(context.module)
+                    return body(args[0], qtree[key], context.module)
             return next_fun(*args, **kwargs)
 
         with nn.intercept_methods(icpt):
@@ -197,10 +265,14 @@ def make_quant_apply(model):
     return apply_fn
 
 
-def quantize_model(model, variables, calib_batches, skip=(),
+def quantize_model(model, variables, calib_batches, skip=("stem0",),
                    percentile=None, select=None):
     """One-call PTQ: calibrate + quantize. Returns (bundle, apply_fn)
-    where bundle = (variables, qtree) is the serving state pytree."""
+    where bundle = (variables, qtree) is the serving state pytree.
+
+    Default skip: the first conv ("stem0", packed or not) stays float —
+    standard first-layer PTQ practice; the per-head 1x1 `pred` convs are
+    raw nn.Conv (never intercepted) so the last layer is float always."""
     a_scales = calibrate(model, variables, calib_batches,
                          percentile=percentile)
     qtree = quantize_params(variables, a_scales, skip=skip, select=select)
