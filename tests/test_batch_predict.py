@@ -119,3 +119,47 @@ def test_dense_scene_nms_capacity_1280():
     got = {(round(float((b[0] + b[2]) / 2)), round(float((b[1] + b[3]) / 2)))
            for b in kept[planted]}
     assert got == centers
+
+
+def test_dense_scene_approx_topk_keeps_planted():
+    """`approx_topk=True` swaps the exact lax.top_k prefilter for the
+    TPU-native binned `lax.approx_max_k` (recall_target 0.95). The bin
+    reduction keeps the max of each contiguous score bin, so a real
+    detection is only at risk if ANOTHER higher-scored candidate lands in
+    its bin — background chatter cannot evict it. Planted objects spaced
+    >= 48 flat indices apart (bin width ~ 100800/4096 ~ 25) must all
+    survive, same construction as the exact-top-k capacity test above."""
+    import jax
+    import jax.numpy as jnp
+
+    from yolo_from_scratch_tpu.config import YoloConfig
+    from yolo_from_scratch_tpu.infer.predict import make_postprocess
+
+    cfg = YoloConfig(num_classes=2, img_size=1280)
+    g3 = 1280 // 8
+    obj_bg, obj_hit, cls_fg = 1.0, 6.0, 4.0
+    p3 = np.zeros((1, g3, g3, 3, 7), np.float32)
+    p3[..., 4] = obj_bg
+    p3[..., 5] = cls_fg
+    p3[..., 6] = -cls_fg
+    lat = np.arange(8, 160, 16)[:10]
+    for i in lat:
+        for j in lat:
+            p3[0, i, j, 0, 4] = obj_hit
+
+    def fake_forward(variables, img):
+        return [
+            jnp.asarray(p3),
+            jnp.full((1, 80, 80, 3, 7), -10.0, jnp.float32),
+            jnp.full((1, 40, 40, 3, 7), -10.0, jnp.float32),
+        ]
+
+    post = make_postprocess(None, cfg, conf_threshold=0.5,
+                            max_outputs=150, use_pallas_nms=False,
+                            apply_fn=fake_forward, approx_topk=True)
+    boxes, scores, classes, valid = jax.device_get(post(
+        {}, jnp.zeros((1, 1280, 1280, 3), jnp.float32),
+        jnp.float32(1.0), jnp.float32(0.0), jnp.float32(0.0)))
+    kept_scores = scores[valid.astype(bool)]
+    hit_score = 1 / (1 + np.exp(-obj_hit)) * 1 / (1 + np.exp(-cls_fg))
+    assert (kept_scores > hit_score - 1e-3).sum() == 100
