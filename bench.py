@@ -78,12 +78,19 @@ def _init_on_host(fn, *args, **kw):
         return fn(*args, **kw)
 
 
-def bench_train(cfg, batch=BATCH, chunk=10):
+def bench_train(cfg, batch=BATCH, chunk=None):
     """Sustained training throughput: `chunk` real optimizer steps per
     dispatch via the scanned multi-step trainer (a single per-step dispatch
     of the full TrainState costs ~10ms of host/tunnel time — more than the
     ~2ms the device needs for the step — so per-step dispatch measures the
-    host, not the TPU)."""
+    host, not the TPU). The real `fit` trainer stages whole epochs and
+    scans them in one dispatch (train/loop.py), so a long chunk is the
+    representative dispatch pattern; batches are staged uint8 exactly like
+    the staged/stream trainers (normalized in-step, bit-identical /255).
+    BENCH_CHUNK overrides (default 50 on an accelerator, 10 on CPU)."""
+    if chunk is None:
+        default = 10 if jax.devices()[0].platform == "cpu" else 50
+        chunk = int(os.environ.get("BENCH_CHUNK", default))
     model, tx, state = _init_on_host(
         create_train_state, jax.random.PRNGKey(0), cfg, 1e-3, batch_size=1
     )
@@ -92,6 +99,9 @@ def bench_train(cfg, batch=BATCH, chunk=10):
     state = set_learning_rate(state, 1e-3)
 
     images_np, targets_np = make_batch(cfg, batch)
+    # stage uint8 (what the staged/stream trainers feed): 4x less HBM than
+    # f32 — chunk=50 packed @640 b8 is ~0.5 GB uint8 vs ~2 GB f32
+    images_np = (images_np * 255).astype(np.uint8)
     if cfg.packed_stem:
         # the loader delivers host-packed batches on the packed-stem path
         from yolo_from_scratch_tpu.models.packed import pack_s2d_host

@@ -48,3 +48,31 @@ def test_multi_step_matches_sequential(cfg, shared_train_setup):
     for a, b in zip(jax.tree.leaves(jax.device_get(s.params)),
                     jax.tree.leaves(jax.device_get(s2.params))):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=max_dev)
+
+
+def test_multi_step_uint8_staging_matches_f32(cfg, shared_train_setup):
+    """uint8-staged scanned epochs (the bench/stream staging format) must
+    equal f32 staging of the same content: the in-step /255 normalize is
+    bit-identical to the host loader's."""
+    model, tx, state0, _ = shared_train_setup
+    state0 = set_learning_rate(state0, 1e-3)
+    multi = make_train_step_multi(model, tx, cfg, donate=False)
+
+    rng = np.random.default_rng(1)
+    n = 2
+    images_u8 = rng.integers(
+        0, 256, (n, 2, cfg.img_size, cfg.img_size, 3), dtype=np.uint8
+    )
+    tgts = [np.zeros((n, 2, g, g, 3, 6), np.float32) for g in cfg.grid_sizes]
+    tgts[0][:, :, 4, 4, 0] = [0.28, 0.28, 0.1, 0.1, 1.0, 1.0]
+    tj = [jnp.asarray(t) for t in tgts]
+
+    s_f32, m_f32 = multi(
+        state0, jnp.asarray(images_u8.astype(np.float32) / 255.0), *tj
+    )
+    s_u8, m_u8 = multi(state0, jnp.asarray(images_u8), *tj)
+
+    assert float(m_u8["loss"]) == pytest.approx(float(m_f32["loss"]), rel=1e-6)
+    for a, b in zip(jax.tree.leaves(jax.device_get(s_f32.params)),
+                    jax.tree.leaves(jax.device_get(s_u8.params))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)

@@ -225,6 +225,10 @@ def make_train_step_multi(model: YOLO, tx, cfg: YoloConfig, quirk_640=False,
     aug = _make_augment(cfg, device_augment, augment_seed)
 
     def one_step(state, images, targets):
+        if images.dtype == jnp.uint8:
+            # uint8 staging: 4x less HBM than f32 for scanned epochs; the
+            # in-step /255 is bit-identical to the host loader's normalize
+            images = images.astype(jnp.float32) / 255.0
         if aug is not None:
             images, targets = aug(state.step, images, targets)
         (total, (new_bs, bbox, obj, cls)), grads = jax.value_and_grad(
