@@ -39,7 +39,8 @@ from yolo_from_scratch_tpu.train.steps import (
 REFERENCE_CPU_TRAIN_IMG_S = 2.437  # BASELINE.md, measured in this container
 BATCH = int(os.environ.get("BENCH_BATCH", 8))  # 8 = the reference workload
 IMG = 640
-TRAIN_STEPS = 100  # measured steps (10 scanned dispatches of 10)
+TRAIN_STEPS = 100  # measured steps; dispatch count = max(100//chunk, 2)
+                   # (chunk defaults to 50 on an accelerator, 10 on CPU)
 WARMUP = 5  # warmup dispatches (x10 scanned steps) — the axon tunnel has a
             # ~30-40-step slow warm phase before sustained throughput
 
@@ -78,6 +79,12 @@ def _init_on_host(fn, *args, **kw):
         return fn(*args, **kw)
 
 
+def _bench_chunk():
+    """Scanned steps per dispatch (BENCH_CHUNK overrides)."""
+    default = 10 if jax.devices()[0].platform == "cpu" else 50
+    return int(os.environ.get("BENCH_CHUNK", default))
+
+
 def bench_train(cfg, batch=BATCH, chunk=None):
     """Sustained training throughput: `chunk` real optimizer steps per
     dispatch via the scanned multi-step trainer (a single per-step dispatch
@@ -86,11 +93,11 @@ def bench_train(cfg, batch=BATCH, chunk=None):
     host, not the TPU). The real `fit` trainer stages whole epochs and
     scans them in one dispatch (train/loop.py), so a long chunk is the
     representative dispatch pattern; batches are staged uint8 exactly like
-    the staged/stream trainers (normalized in-step, bit-identical /255).
+    the staged/stream trainers (normalized in-step by the shared
+    config.INV255 reciprocal — bit-identical to the host loader).
     BENCH_CHUNK overrides (default 50 on an accelerator, 10 on CPU)."""
     if chunk is None:
-        default = 10 if jax.devices()[0].platform == "cpu" else 50
-        chunk = int(os.environ.get("BENCH_CHUNK", default))
+        chunk = _bench_chunk()
     model, tx, state = _init_on_host(
         create_train_state, jax.random.PRNGKey(0), cfg, 1e-3, batch_size=1
     )
@@ -319,16 +326,18 @@ def main():
     platform = jax.devices()[0].platform
     log(f"backend: {platform} ({jax.devices()[0]})")
 
-    use_bf16 = platform not in ("cpu",)
-    dtype = "bfloat16" if use_bf16 else "float32"
-    cfg = YoloConfig(num_classes=1, img_size=IMG, compute_dtype=dtype)
+    # Measure the ZERO-FLAGS CLI contract: config.auto_fast_layout is the
+    # same resolver cli.py applies when no --packed/--dtype flags are
+    # given (packed-p3 space-to-depth layout + bf16 on an accelerator;
+    # measured 934 -> 1258 -> 1335 img/s @b8 on v5e for stem -> interior
+    # -> p3, same-session A/B 2026-08-19). BENCH_PACKED=0 opts out.
+    from yolo_from_scratch_tpu.config import auto_fast_layout
 
-    # Train in the space-to-depth packed layout (models/packed.py) —
-    # stem + first-C3-stage interior + whole-P3-level packing:
-    # numerically equivalent, checkpoint-interchangeable, measured
-    # 934 -> 1258 -> 1335 img/s @b8 on v5e (stem -> interior -> p3,
-    # same-session A/B 2026-08-19). BENCH_PACKED=0 opts out.
-    packed = os.environ.get("BENCH_PACKED", "1") != "0"
+    auto = auto_fast_layout(platform)
+    dtype = auto["compute_dtype"]
+    packed = (os.environ.get("BENCH_PACKED", "1") != "0"
+              and auto["packed_p3"])
+    cfg = YoloConfig(num_classes=1, img_size=IMG, compute_dtype=dtype)
     train_ips = bench_train(cfg.with_(packed_stem=packed,
                                       packed_interior=packed,
                                       packed_p3=packed))
@@ -346,7 +355,12 @@ def main():
     }
     print(json.dumps(headline), flush=True)
     if jax.devices()[0].platform != "cpu":
-        _save_lastgood(headline)
+        # record the methodology alongside the value so cross-round
+        # comparisons can tell a perf change from a setup change
+        _save_lastgood({**headline, "methodology": {
+            "batch": BATCH, "chunk": _bench_chunk(), "staging": "uint8",
+            "packed": "p3" if packed else "none", "dtype": dtype,
+        }})
 
     extra = {
         "train_images_per_sec_per_chip_640": round(train_ips, 2),

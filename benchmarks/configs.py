@@ -96,7 +96,7 @@ def run(spec, lr=5e-3, batch=8, stage="all", augment=False, mosaic=False,
     cfg = YoloConfig(
         num_classes=spec["num_classes"], img_size=spec["img_size"],
         compute_dtype="bfloat16", packed_stem=True, packed_interior=True,
-        packed_p3=True,
+        packed_p3=True, head_type=spec.get("head", "anchor"),
         **({"anchors": anchors} if anchors is not None else {}),
     )
     ds = YoloDataset(f"{root}/train/images", cfg.num_classes,
@@ -188,6 +188,7 @@ def _eval(spec, cfg, variables, root, train_ips):
         "class_mode": spec.get("class_mode", "color"),
         "n_distract": spec.get("n_distract", 0),
         "sparse_loss": spec.get("sparse", False),
+        "head": spec.get("head", "anchor"),
         "det_f1": round(m["det_f1"], 1),
     }
     print(json.dumps(result), flush=True)
@@ -238,6 +239,11 @@ if __name__ == "__main__":
             # regime where photometric aug is label-preserving
             overrides["class_mode"] = args[i + 1]
             i += 1
+        elif a == "--head":
+            # anchor_free: the YOLOv8-style decoupled TAL+DFL head
+            # (models/anchor_free.py) under the identical budget/regime
+            overrides["head"] = args[i + 1]
+            i += 1
         elif a.startswith("-"):
             # fail fast: an unrecognized flag must not be silently taken
             # for a config key (it would crash only AFTER training)
@@ -245,7 +251,8 @@ if __name__ == "__main__":
                              f"--eval-only --augment --augment-flip "
                              f"--mosaic --sparse-loss --n-train N "
                              f"--n-val N --epochs N --distractors N "
-                             f"--class-mode color|shape)")
+                             f"--class-mode color|shape "
+                             f"--head anchor|anchor_free)")
         elif a not in CONFIGS:
             raise SystemExit(f"unknown config {a!r} "
                              f"(have: {sorted(CONFIGS)})")
@@ -261,5 +268,7 @@ if __name__ == "__main__":
                 spec["name"] += "_shape"
             if spec.get("n_distract"):
                 spec["name"] += "_d{}".format(spec["n_distract"])
+            if spec.get("head") == "anchor_free":
+                spec["name"] += "_af"
         run(spec, stage=stage, augment=augment, mosaic=mosaic,
             sparse=sparse)

@@ -52,8 +52,11 @@ def test_multi_step_matches_sequential(cfg, shared_train_setup):
 
 def test_multi_step_uint8_staging_matches_f32(cfg, shared_train_setup):
     """uint8-staged scanned epochs (the bench/stream staging format) must
-    equal f32 staging of the same content: the in-step /255 normalize is
-    bit-identical to the host loader's."""
+    equal f32 staging of the same content: both the host loader and the
+    in-step normalize multiply by the same f32 reciprocal
+    (config.INV255), so the conv inputs are bit-identical. (A /255.0 on
+    either side breaks this: XLA strength-reduces a constant divide to a
+    reciprocal-multiply ~1 ulp off numpy's true divide.)"""
     model, tx, state0, _ = shared_train_setup
     state0 = set_learning_rate(state0, 1e-3)
     multi = make_train_step_multi(model, tx, cfg, donate=False)
@@ -67,8 +70,10 @@ def test_multi_step_uint8_staging_matches_f32(cfg, shared_train_setup):
     tgts[0][:, :, 4, 4, 0] = [0.28, 0.28, 0.1, 0.1, 1.0, 1.0]
     tj = [jnp.asarray(t) for t in tgts]
 
+    from yolo_from_scratch_tpu.config import INV255
+
     s_f32, m_f32 = multi(
-        state0, jnp.asarray(images_u8.astype(np.float32) / 255.0), *tj
+        state0, jnp.asarray(images_u8.astype(np.float32) * INV255), *tj
     )
     s_u8, m_u8 = multi(state0, jnp.asarray(images_u8), *tj)
 

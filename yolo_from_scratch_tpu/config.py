@@ -30,6 +30,37 @@ YOLO_SIZES = {
 STRIDES = (8, 16, 32)
 NUM_ANCHORS_PER_SCALE = 3
 
+# Image-normalization constant shared by the host loader and the in-step
+# uint8 normalize. Both sides multiply by this SAME f32 reciprocal, which
+# makes staged-uint8 and host-normalized-f32 inputs bit-identical: an f32
+# multiply is correctly rounded in both numpy and XLA, whereas a
+# divide-by-constant is strength-reduced by XLA to a reciprocal-multiply
+# that lands ~1 ulp off numpy's true divide (measured 5.96e-8 max diff,
+# amplified to ~5e-5 loss divergence over a few Adam steps).
+INV255 = np.float32(1.0 / 255.0)
+
+
+def auto_fast_layout(platform: str) -> dict:
+    """The no-flags layout/dtype defaults for a backend platform.
+
+    Single source of truth shared by the CLI's 'auto' resolution and
+    bench.py, so the benchmark always measures the configuration the
+    zero-flags CLI user actually gets (the reference ships its full
+    capability with zero flags — reference: train.py:1354-1374).
+    Accelerators default to the packed-p3 space-to-depth layout +
+    bfloat16 conv compute: both are numerically-equivalent,
+    checkpoint-interchangeable runtime knobs (tests/test_packed_p3.py,
+    tests/test_checkpoint.py). CPU stays float32/unpacked — packing pays
+    on MXU lanes, not host SIMD, and float32 is the parity dtype.
+    """
+    accel = platform != "cpu"
+    return {
+        "compute_dtype": "bfloat16" if accel else "float32",
+        "packed_stem": accel,
+        "packed_interior": accel,
+        "packed_p3": accel,
+    }
+
 
 def normalize_anchors(anchors: Any) -> np.ndarray:
     """Canonicalize any accepted anchor format to a (3, 3, 2) float32 array.

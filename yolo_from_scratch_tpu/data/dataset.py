@@ -24,6 +24,7 @@ from pathlib import Path
 import numpy as np
 
 from yolo_from_scratch_tpu.config import (
+    INV255,
     NUM_ANCHORS_PER_SCALE,
     STRIDES,
     normalize_anchors,
@@ -253,7 +254,7 @@ class YoloDataset:
         pil = Image.open(self.imgs[idx]).convert("RGB")
         orig_w, orig_h = pil.size
         img_u8, scale, pad_top, pad_left = letterbox_image(pil, self.img_size)
-        img = img_u8.astype(np.float32) / 255.0
+        img = img_u8.astype(np.float32) * INV255
 
         rows = parse_label_file(self.labels[idx])
         boxes = adjust_boxes_for_letterbox(
@@ -355,7 +356,7 @@ class YoloDataset:
                 class_list.append(rows[:, 0].astype(np.int64))
             images = np.stack(imgs_u8)
             if image_dtype != "uint8":
-                images = images.astype(np.float32) / 255.0
+                images = images.astype(np.float32) * INV255
         if warn_over:
             over = max((len(b) for b in boxes_list), default=0)
             if over > capacity:

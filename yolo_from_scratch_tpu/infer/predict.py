@@ -401,6 +401,87 @@ class Predictor:
         return out
 
 
+class PipelinedPredictor:
+    """Single-image serving client that hides the host<->device
+    round-trip by keeping up to `depth` requests in flight.
+
+    The reference's predict is strictly synchronous (reference:
+    train.py:1114-1250): letterbox -> forward -> NMS -> readback, one
+    image at a time, so end-to-end latency = RTT + device time per
+    image. Here dispatches are asynchronous (JAX queues the program and
+    returns device futures); with `depth` images in flight the device
+    starts request k+1 while the host is still reading back request k,
+    so SUSTAINED single-image throughput approaches the device rate even
+    through a high-RTT link (the axon tunnel's ~25-30 ms p50 vs 0.87 ms
+    device time — benchmarks/rttbench.py measures the decomposition).
+    Per-request LATENCY is unchanged; this is a throughput client.
+
+    Usage: `list(pp(paths))` or incrementally `pp.submit(img)` /
+    `pp.drain()`. Results preserve submission order.
+    """
+
+    def __init__(self, variables, cfg: YoloConfig, depth=4,
+                 conf_threshold=0.5, iou_threshold=0.4, topk=None,
+                 max_outputs=None, quantize_calib=None):
+        import collections
+
+        self._p = Predictor(variables, cfg, conf_threshold, iou_threshold,
+                            topk, max_outputs,
+                            quantize_calib=quantize_calib)
+        self.depth = max(1, int(depth))
+        self._inflight = collections.deque()
+
+    def _dispatch(self, image):
+        from PIL import Image
+
+        p = self._p
+        pil = (Image.open(image).convert("RGB")
+               if not hasattr(image, "size") else image.convert("RGB"))
+        img_u8, scale, pad_top, pad_left = letterbox_image(
+            pil, p.cfg.img_size)
+        img_np = img_u8.astype(np.float32)[None] / 255.0
+        if p.cfg.packed_stem:
+            from yolo_from_scratch_tpu.models.packed import pack_s2d_host
+
+            img_np = pack_s2d_host(img_np)
+        # async dispatch: returns device futures without blocking
+        return p._post(p.variables, jnp.asarray(img_np), float(scale),
+                       float(pad_top), float(pad_left))
+
+    @staticmethod
+    def _finalize(out):
+        boxes, scores, classes, valid = jax.device_get(out)
+        return [
+            (float(b[0]), float(b[1]), float(b[2]), float(b[3]),
+             float(s), int(c))
+            for b, s, c, v in zip(boxes, scores, classes, valid) if v
+        ]
+
+    def submit(self, image):
+        """Enqueue one image; returns any results whose window slot was
+        needed (possibly empty list of per-image detection lists)."""
+        self._inflight.append(self._dispatch(image))
+        done = []
+        while len(self._inflight) > self.depth:
+            done.append(self._finalize(self._inflight.popleft()))
+        return done
+
+    def drain(self):
+        """Collect every remaining in-flight result, in order."""
+        done = [self._finalize(o) for o in self._inflight]
+        self._inflight.clear()
+        return done
+
+    def __call__(self, images):
+        """Run a stream of images; returns one detection list per image,
+        in order, with up to `depth` requests overlapped."""
+        results = []
+        for image in images:
+            results.extend(self.submit(image))
+        results.extend(self.drain())
+        return results
+
+
 def predict(variables, cfg, image_path, conf_threshold=0.5, iou_threshold=0.4):
     """One-shot convenience mirroring the reference signature.
 

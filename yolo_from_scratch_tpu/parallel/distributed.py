@@ -49,6 +49,14 @@ def init_distributed(coordinator: str | None = None,
     `jax.devices()` is the global device list and meshes built from it
     span every host.
     """
+    # On the CPU backend cross-process collectives need a real transport
+    # (the single-host default has none): select gloo BEFORE the backend
+    # initializes, so the CPU client is built multi-process-aware. TPU
+    # backends ignore this knob; only an explicit CPU platform selection
+    # triggers it.
+    platforms = (jax.config.jax_platforms or "").lower()
+    if "cpu" in platforms.split(","):
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
     kwargs = {}
     if coordinator is not None:
         kwargs["coordinator_address"] = coordinator

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import optax
 from flax import struct
 
-from yolo_from_scratch_tpu.config import YoloConfig
+from yolo_from_scratch_tpu.config import INV255, YoloConfig
 from yolo_from_scratch_tpu.models.yolo import YOLO
 from yolo_from_scratch_tpu.ops.losses import yolo_loss_multiscale
 from yolo_from_scratch_tpu.train.metrics import grid_metric_counts
@@ -227,8 +227,9 @@ def make_train_step_multi(model: YOLO, tx, cfg: YoloConfig, quirk_640=False,
     def one_step(state, images, targets):
         if images.dtype == jnp.uint8:
             # uint8 staging: 4x less HBM than f32 for scanned epochs; the
-            # in-step /255 is bit-identical to the host loader's normalize
-            images = images.astype(jnp.float32) / 255.0
+            # in-step normalize multiplies by the same f32 reciprocal as
+            # the host loader (config.INV255) so both are bit-identical
+            images = images.astype(jnp.float32) * INV255
         if aug is not None:
             images, targets = aug(state.step, images, targets)
         (total, (new_bs, bbox, obj, cls)), grads = jax.value_and_grad(
@@ -288,7 +289,7 @@ def _make_expand(cfg: YoloConfig, compact_targets: bool,
 
     def expand(step, images, targets):
         if images.dtype == jnp.uint8:
-            images = images.astype(jnp.float32) / 255.0
+            images = images.astype(jnp.float32) * INV255
         if not compact_targets:
             return images, targets
 
@@ -354,8 +355,8 @@ def make_train_step_multi_compact(model: YOLO, tx, cfg: YoloConfig,
     Why: at nc=80 @640 a dense target set is ~8.7 MB/image while the
     compact labels are ~1 KB/image — staging an epoch set on-device goes
     from targets-dominated to images-dominated, and uint8 image staging
-    (normalized in-body; bit-identical to the host's /255) cuts that by
-    another 4x. Together they raise the pre-stageable dataset from ~512
+    (normalized in-body; bit-identical to the host's, see config.INV255)
+    cuts that by another 4x. Together they raise the pre-stageable dataset from ~512
     to ~2000+ images @640 nc=80 on a 16 GB chip. The per-step assignment
     is (B*K, 9) elementwise work + three scatters — noise next to the
     conv step.
@@ -559,7 +560,7 @@ def make_eval_step(model: YOLO, cfg: YoloConfig, conf_threshold=0.5,
                 # on-device — identical to the host assignment.
                 labels, counts = targets
                 if images.dtype == jnp.uint8:
-                    images = images.astype(jnp.float32) / 255.0
+                    images = images.astype(jnp.float32) * INV255
                 preds = model.apply(
                     {"params": params, "batch_stats": batch_stats},
                     images, train=False,
