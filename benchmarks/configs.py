@@ -60,7 +60,10 @@ def run(spec, lr=5e-3, batch=8, stage="all", augment=False, mosaic=False,
     step (ops/augment.py) — the pre-staged epochs otherwise repeat the
     exact same batches, which caps the small-data configs."""
     root = f"/tmp/cfgbench_{spec['name']}"
-    ckpt = f"{root}/trained.ckpt"
+    # pool (echo) runs share the dataset/cache with the pre-staged run of
+    # the same regime but keep their own checkpoint
+    ckpt = (f"{root}/trained_pool{spec['pool']}.ckpt" if spec.get("pool")
+            else f"{root}/trained.ckpt")
     if stage == "eval":
         from yolo_from_scratch_tpu.utils.checkpoint import load_checkpoint
 
@@ -101,60 +104,105 @@ def run(spec, lr=5e-3, batch=8, stage="all", augment=False, mosaic=False,
     )
     ds = YoloDataset(f"{root}/train/images", cfg.num_classes,
                      cfg.anchors_array, cfg.img_size)
-    # Compact staging (data/assign_device.py): uint8 images + padded raw
-    # labels on device; the dense (gs,gs,A,5+nc) maps are rebuilt inside
-    # the scanned step. Dense staging at nc=80 @640 is ~8.7 MB/img of
-    # targets + 4.9 MB/img of f32 packed pixels (~7 GB at 512 images);
-    # compact is ~1.2 MB/img total, so 1024+ images fit in HBM.
-    from yolo_from_scratch_tpu.models.packed import pack_s2d_host
-
-    n_scan = len(ds) // batch
     capacity = max(16, 2 * spec["n_max"])
-    imgs_np, labels_np, counts_np = [], [], []
-    for s in range(n_scan):
-        im, lab, cnt = ds.load_batch_compact(
-            range(s * batch, (s + 1) * batch), capacity=capacity
-        )
-        if cfg.packed_stem:
-            im = pack_s2d_host(im)
-        imgs_np.append(im)
-        labels_np.append(lab)
-        counts_np.append(cnt)
-    imgs = jnp.asarray(np.stack(imgs_np))
-    labels = jnp.asarray(np.stack(labels_np))
-    counts = jnp.asarray(np.stack(counts_np))
-    print(f"{spec['name']}: staged {n_scan}x{batch} images "
-          f"@{cfg.img_size} (uint8 + compact labels, K={capacity})",
-          flush=True)
+    pool = spec.get("pool", 0)
+    if pool:
+        # Echo A/B mode (VERDICT r4 #8): train through the PoolStream
+        # (HBM-resident pool refreshed at this host's constrained link
+        # rate — data echoing) for the SAME step count as the pre-staged
+        # run, so the recorded mAP delta isolates what echo costs.
+        from yolo_from_scratch_tpu.data.cache import ensure_cache
+        from yolo_from_scratch_tpu.data.stream import PoolStream
+
+        cache = ensure_cache(ds, capacity=capacity, packed=cfg.packed_stem)
+        stream = PoolStream(cache, pool_size=pool, batch_size=batch,
+                            steps_per_chunk=16, seed=0)
+        print(f"{spec['name']}: pool mode — {len(cache)} cached images, "
+              f"{pool}-slot HBM pool, {stream.steps_per_epoch} "
+              f"steps/epoch", flush=True)
+        imgs = labels = counts = None
+    else:
+        # Compact staging (data/assign_device.py): uint8 images + padded
+        # raw labels on device; the dense (gs,gs,A,5+nc) maps are rebuilt
+        # inside the scanned step. Dense staging at nc=80 @640 is
+        # ~8.7 MB/img of targets + 4.9 MB/img of f32 packed pixels
+        # (~7 GB at 512 images); compact is ~1.2 MB/img total, so 1024+
+        # images fit in HBM.
+        from yolo_from_scratch_tpu.models.packed import pack_s2d_host
+
+        n_scan = len(ds) // batch
+        imgs_np, labels_np, counts_np = [], [], []
+        for s in range(n_scan):
+            im, lab, cnt = ds.load_batch_compact(
+                range(s * batch, (s + 1) * batch), capacity=capacity
+            )
+            if cfg.packed_stem:
+                im = pack_s2d_host(im)
+            imgs_np.append(im)
+            labels_np.append(lab)
+            counts_np.append(cnt)
+        imgs = jnp.asarray(np.stack(imgs_np))
+        labels = jnp.asarray(np.stack(labels_np))
+        counts = jnp.asarray(np.stack(counts_np))
+        print(f"{spec['name']}: staged {n_scan}x{batch} images "
+              f"@{cfg.img_size} (uint8 + compact labels, K={capacity})",
+              flush=True)
 
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
         model, tx, state = create_train_state(jax.random.PRNGKey(0), cfg, lr,
                                               batch_size=1)
     state = jax.device_put(state, jax.devices()[0])
-    steps = make_train_step_multi_compact(model, tx, cfg,
-                                          device_augment=augment,
-                                          device_mosaic=mosaic,
-                                          sparse_loss=sparse)
+    if pool:
+        from yolo_from_scratch_tpu.train.steps import (
+            make_train_step_multi_pool,
+        )
+
+        steps = make_train_step_multi_pool(model, tx, cfg,
+                                           device_augment=augment,
+                                           device_mosaic=mosaic,
+                                           sparse_loss=sparse)
+    else:
+        steps = make_train_step_multi_compact(model, tx, cfg,
+                                              device_augment=augment,
+                                              device_mosaic=mosaic,
+                                              sparse_loss=sparse)
 
     t_compile = time.time()
     times = []
+    ingest_rates = []
     for epoch in range(spec["epochs"]):
         state = set_learning_rate(
             state, lr_at_epoch(epoch, 3, spec["epochs"], lr, lr / 100)
         )
         t0 = time.perf_counter()
-        state, m = steps(state, imgs, labels, counts)
-        loss = float(m["loss"])  # hard sync each epoch
+        if pool:
+            state, means, n_img, dt = stream.run_epoch(steps, state)
+            loss = means["loss"]
+            ingest_rates.append(means["ingest_img_s"])
+        else:
+            state, m = steps(state, imgs, labels, counts)
+            loss = float(m["loss"])  # hard sync each epoch
         times.append(time.perf_counter() - t0)
         if epoch % 20 == 0 or epoch == spec["epochs"] - 1:
+            extra_log = (f" ingest {ingest_rates[-1]:.1f} img/s"
+                         if pool else "")
             print(f"  epoch {epoch + 1}: loss {loss:.4f} "
-                  f"({time.time() - t_compile:.0f}s)", flush=True)
+                  f"({time.time() - t_compile:.0f}s){extra_log}",
+                  flush=True)
             if not np.isfinite(loss):
                 raise SystemExit("diverged")
     # steady state: median of the second half
     med = float(np.median(times[len(times) // 2:]))
-    train_ips = n_scan * batch / med
+    n_epoch_imgs = stream.images_per_epoch if pool else n_scan * batch
+    train_ips = n_epoch_imgs / med
+    if pool:
+        ingest = float(np.median(ingest_rates[len(ingest_rates) // 2:]))
+        spec["_ingest_img_s"] = round(ingest, 1)
+        spec["_echo_factor"] = round(train_ips / max(ingest, 1e-9), 1)
+        print(f"pool echo: trained {train_ips:.1f} img/s vs ingest "
+              f"{ingest:.1f} img/s = {spec['_echo_factor']}x echo",
+              flush=True)
 
     from yolo_from_scratch_tpu.utils.checkpoint import save_checkpoint
 
@@ -191,6 +239,10 @@ def _eval(spec, cfg, variables, root, train_ips):
         "head": spec.get("head", "anchor"),
         "det_f1": round(m["det_f1"], 1),
     }
+    if spec.get("pool"):
+        result["pool"] = spec["pool"]
+        result["ingest_img_s"] = spec.get("_ingest_img_s")
+        result["echo_factor"] = spec.get("_echo_factor")
     print(json.dumps(result), flush=True)
     out = Path(__file__).parent / "configs_results.jsonl"
     with open(out, "a") as f:
@@ -203,6 +255,7 @@ if __name__ == "__main__":
     augment = False
     mosaic = False
     sparse = False
+    pool_n = 0
     overrides = {}
     keys = []
     args = sys.argv[1:]
@@ -244,6 +297,12 @@ if __name__ == "__main__":
             # (models/anchor_free.py) under the identical budget/regime
             overrides["head"] = args[i + 1]
             i += 1
+        elif a == "--pool":
+            # echo A/B: train via a P-slot PoolStream refreshed at this
+            # host's link rate instead of pre-staged batches — same step
+            # count, same dataset; records ingest rate + echo factor
+            pool_n = int(args[i + 1])
+            i += 1
         elif a.startswith("-"):
             # fail fast: an unrecognized flag must not be silently taken
             # for a config key (it would crash only AFTER training)
@@ -261,7 +320,7 @@ if __name__ == "__main__":
         i += 1
     for key in keys or ["2", "3", "4"]:
         spec = dict(CONFIGS[key], augment=augment, mosaic=mosaic,
-                    sparse=sparse, **overrides)
+                    sparse=sparse, pool=pool_n, **overrides)
         if overrides:  # a different regime must not reuse the cached set
             spec["name"] += "_n{}".format(spec["n_train"])
             if spec.get("class_mode") == "shape":

@@ -13,6 +13,7 @@ import pytest
 
 from yolo_from_scratch_tpu.config import YoloConfig
 from yolo_from_scratch_tpu.data.dataset import assign_targets
+from yolo_from_scratch_tpu.models.yolo import YOLO
 from yolo_from_scratch_tpu.train.metrics import prf1
 from yolo_from_scratch_tpu.train.steps import (
     create_train_state,
@@ -48,11 +49,15 @@ def learnable_batch():
     return cfg, images, targets
 
 
-def test_model_learns_to_detect(learnable_batch):
+@pytest.fixture(scope="module")
+def trained_state(learnable_batch):
+    """(state, first_loss, final_loss): 120 optimizer steps on the fixed
+    batch — shared by the convergence assertions and the int8 PTQ
+    accuracy regression below (training once keeps the module's CPU cost
+    flat)."""
     cfg, images, targets = learnable_batch
     model, tx, state = create_train_state(jax.random.PRNGKey(0), cfg, 3e-3)
     multi = make_train_step_multi(model, tx, cfg, donate=False)
-    eval_step = make_eval_step(model, cfg, conf_threshold=0.5)
     state = set_learning_rate(state, 3e-3)
 
     n = 10  # steps per dispatch
@@ -65,7 +70,13 @@ def test_model_learns_to_detect(learnable_batch):
         state, metrics = multi(state, imgs_n, *t_n)
         if first_loss is None:
             first_loss = float(metrics["loss"])
-    final_loss = float(metrics["loss"])
+    return state, first_loss, float(metrics["loss"])
+
+
+def test_model_learns_to_detect(learnable_batch, trained_state):
+    cfg, images, targets = learnable_batch
+    state, first_loss, final_loss = trained_state
+    eval_step = make_eval_step(YOLO(cfg), cfg, conf_threshold=0.5)
     assert final_loss < first_loss * 0.5, (first_loss, final_loss)
 
     loss, tp, fp, fn = jax.device_get(
@@ -107,3 +118,41 @@ def test_model_learns_to_detect(learnable_batch):
         union = (d[2] - d[0]) * (d[3] - d[1]) + (x2 - x1) * (y2 - y1) - inter
         best_iou = max(best_iou, inter / union if union > 0 else 0.0)
     assert best_iou > 0.5, f"best predicted IoU vs GT only {best_iou:.2f}"
+
+
+def test_int8_ptq_accuracy_close_to_float(learnable_batch, trained_state):
+    """int8 PTQ accuracy regression on a TRAINED model (VERDICT r3 #3):
+    the quantized serving path must reproduce the float path's
+    detections — same box count at conf 0.4, per-box IoU >= 0.8 and
+    score within 0.05 — on every training image. The TPU-scale A/B on
+    the benchmark checkpoints (benchmarks/int8map.py, recorded in
+    BASELINE.md: config-2 mAP@0.5 -0.02, mAP@[.5:.95] -0.98) is the
+    full-size version of this same invariant."""
+    from PIL import Image
+
+    from yolo_from_scratch_tpu.infer.predict import Predictor
+
+    cfg, images, _ = learnable_batch
+    state, _, _ = trained_state
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    pils = [Image.fromarray((np.asarray(im) * 255).astype(np.uint8))
+            for im in images]
+
+    float_pred = Predictor(variables, cfg, conf_threshold=0.4)
+    int8_pred = Predictor(variables, cfg, conf_threshold=0.4,
+                          quantize_calib=pils)
+    n_match = 0
+    for pil in pils:
+        df, dq = float_pred(pil), int8_pred(pil)
+        assert len(dq) == len(df), (
+            f"int8 box count {len(dq)} != float {len(df)}")
+        for bf, bq in zip(sorted(df), sorted(dq)):
+            ix1, iy1 = max(bf[0], bq[0]), max(bf[1], bq[1])
+            ix2, iy2 = min(bf[2], bq[2]), min(bf[3], bq[3])
+            inter = max(0, ix2 - ix1) * max(0, iy2 - iy1)
+            union = ((bf[2] - bf[0]) * (bf[3] - bf[1])
+                     + (bq[2] - bq[0]) * (bq[3] - bq[1]) - inter)
+            assert inter / union > 0.8, (bf, bq)
+            assert abs(bf[4] - bq[4]) < 0.05, (bf[4], bq[4])
+            n_match += 1
+    assert n_match >= len(pils), "trained model detected nothing to A/B"

@@ -157,6 +157,140 @@ def test_global_eval_reduce_single_process_identity():
     assert global_eval_reduce(3, 4, 5, 1.25, 7) == (3, 4, 5, 1.25, 7)
 
 
+def _write_dist_dataset(root, n=8, img_size=64):
+    """Deterministic 2-split dataset sized so 2 processes x batch 4
+    divide it exactly (no wrap-pad): the strided process shards of each
+    epoch permutation then reassemble into the SAME global batches the
+    single-process loader draws, making cross-run loss comparison
+    meaningful."""
+    from PIL import Image
+
+    root = __import__("pathlib").Path(root)
+    rng = np.random.default_rng(42)
+    for split in ("train", "val"):
+        (root / split / "images").mkdir(parents=True)
+        (root / split / "labels").mkdir(parents=True)
+        for i in range(n):
+            img = (rng.random((img_size, img_size, 3)) * 255).astype(np.uint8)
+            y0, x0 = rng.integers(8, img_size // 2, 2)
+            img[y0:y0 + 20, x0:x0 + 24] = [250, 30, 30]
+            Image.fromarray(img).save(root / split / "images" / f"{i}.jpg")
+            cx, cy = (x0 + 12) / img_size, (y0 + 10) / img_size
+            (root / split / "labels" / f"{i}.txt").write_text(
+                f"0 {cx:.4f} {cy:.4f} {24 / img_size:.4f} "
+                f"{20 / img_size:.4f}\n")
+    yaml_path = root / "data.yaml"
+    yaml_path.write_text(
+        f"nc: 1\nnames: [obj]\ntrain: {root / 'train' / 'images'}\n"
+        f"val: {root / 'val' / 'images'}\n")
+    return yaml_path
+
+
+_EPOCH_RE = (r"Epoch (\d+): Loss: ([\d.]+) \(bbox: ([\d.]+), obj: "
+             r"([\d.]+), cls: ([\d.]+)\) \| Val: Loss ([\d.]+), "
+             r"P ([\d.]+)%, R ([\d.]+)%, F1 ([\d.]+)%")
+
+
+def _parse_epochs(stdout):
+    import re
+
+    return [tuple(float(g) for g in m.groups())
+            for m in re.finditer(_EPOCH_RE, stdout)]
+
+
+def _cli_env(n_devices):
+    env = dict(__import__("os").environ)
+    env.update({
+        "PALLAS_AXON_POOL_IPS": "",  # disable the axon TPU plugin
+        "JAX_PLATFORMS": "cpu",
+        "XLA_FLAGS": f"--xla_force_host_platform_device_count={n_devices}",
+        "JAX_COMPILATION_CACHE_DIR": "/tmp/jax_test_cache",
+    })
+    return env
+
+
+@pytest.mark.slow
+def test_two_process_train_matches_single_process(tmp_path):
+    """THE process-boundary test: two REAL processes (4 virtual CPU
+    devices each) connect through jax.distributed.initialize via the
+    CLI's --distributed flags, train 2 epochs + run the psummed global
+    eval, and must (a) print identical global metrics on every process
+    (the SPMD replication contract) and (b) match the single-process
+    8-device run of the same workload — same global batches, so train
+    loss agrees to float-reduction tolerance, the integer eval counts
+    exactly, and the saved checkpoints leaf-by-leaf within Adam-update
+    drift. Exercises parallel/distributed.py's coordinator bootstrap,
+    make_global_batch, and global_eval_reduce with process_count == 2
+    (everything the single-process degenerate tests above cannot)."""
+    import socket
+    import subprocess
+    import sys
+
+    yaml_path = _write_dist_dataset(tmp_path / "ds")
+    with socket.socket() as s:  # free port for the coordinator
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    repo = __import__("pathlib").Path(__file__).resolve().parent.parent
+    base = [sys.executable, str(repo / "train.py"), str(yaml_path),
+            "--epochs", "2", "--size", "n", "--img-size", "64",
+            "--lr", "1e-3", "--seed", "3"]
+
+    def dist_cmd(pid, workdir):
+        return subprocess.Popen(
+            base + ["--batch-size", "4", "--distributed",
+                    "--coordinator", f"127.0.0.1:{port}",
+                    "--num-processes", "2", "--process-id", str(pid)],
+            cwd=workdir, env=_cli_env(4), text=True,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+
+    d0 = tmp_path / "p0"
+    d1 = tmp_path / "p1"
+    d0.mkdir(), d1.mkdir()
+    (tmp_path / "single").mkdir()
+    procs = [dist_cmd(0, d0), dist_cmd(1, d1)]
+    outs = [p.communicate(timeout=900)[0] for p in procs]
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"process {pid} failed:\n{out[-3000:]}"
+        assert "Distributed: process" in out
+    e0, e1 = _parse_epochs(outs[0]), _parse_epochs(outs[1])
+    assert len(e0) == 2 and len(e1) == 2, (outs[0][-2000:], outs[1][-2000:])
+    # (a) every process prints the same GLOBAL metrics — the loss is the
+    # replicated output of one SPMD program, the eval counts pass through
+    # the same global_eval_reduce sum on both sides
+    assert e0 == e1
+
+    single = subprocess.run(
+        base + ["--batch-size", "8", "--data-parallel"],
+        cwd=tmp_path / "single", env=_cli_env(8), text=True, timeout=900,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+    assert single.returncode == 0, single.stdout[-3000:]
+    es = _parse_epochs(single.stdout)
+    assert len(es) == 2
+    for (dist, sing) in zip(e0, es):
+        # train + val losses: same global batch sets, different reduction
+        # grouping -> tight but not exact
+        for a, b in zip(dist[1:6], sing[1:6]):
+            assert a == pytest.approx(b, rel=2e-3, abs=2e-3)
+        # grid-metric P/R/F1 percentages come from integer global counts
+        assert dist[6:] == pytest.approx(sing[6:], abs=0.1)
+
+    # (c) checkpoints: process 0's saved params equal the single-process
+    # run's, leaf-by-leaf, within the theoretical Adam drift bound
+    # (2 steps x ~2x lr, the test_multistep.py bound)
+    from yolo_from_scratch_tpu.utils.checkpoint import load_checkpoint
+
+    ck_d = next(d0.glob("yolo_*.ckpt"))
+    ck_s = next((tmp_path / "single").glob("yolo_*.ckpt"))
+    assert not list(d1.glob("yolo_*.ckpt")), \
+        "only process 0 may write checkpoints"
+    vd, _, _ = load_checkpoint(str(ck_d))
+    vs, _, _ = load_checkpoint(str(ck_s))
+    for a, b in zip(jax.tree.leaves(vd["params"]),
+                    jax.tree.leaves(vs["params"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=4e-3)
+
+
 def test_sharded_eval_counts_sum_to_global(temp_dataset_multiclass):
     """The multi-host eval contract: each process counts its wrap-padded
     loader shard (_eval_counts), the five scalars are summed

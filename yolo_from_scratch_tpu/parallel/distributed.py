@@ -65,7 +65,37 @@ def init_distributed(coordinator: str | None = None,
     if process_id is not None:
         kwargs["process_id"] = process_id
     jax.distributed.initialize(**kwargs)
+    if jax.process_count() > 1:
+        _startup_barrier()
     return jax.process_index(), jax.process_count()
+
+
+def _startup_barrier():
+    """Run one trivial all-device collective NOW, while every process is
+    still within milliseconds of the others.
+
+    The CPU backend's gloo transport creates its communicator context
+    lazily at the FIRST collective execution, with a hard 30 s
+    rendezvous timeout. In a real run that first collective fires after
+    minutes of jit compilation, and compilation skew between processes
+    (e.g. asymmetric persistent-cache hits) easily exceeds 30 s — the
+    leader then dies with 'Gloo context initialization failed:
+    GetKeyValue() timed out'. Establishing the all-device context here
+    costs one tiny compile and pins the rendezvous to startup, where the
+    processes are synchronized by construction (they just left
+    jax.distributed.initialize together). TPU backends don't need this
+    but the barrier is equally harmless there.
+    """
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    devs = np.asarray(jax.devices())
+    mesh = Mesh(devs, ("all",))
+    local = np.zeros((len(jax.local_devices()),), np.float32)
+    arr = jax.make_array_from_process_local_data(
+        NamedSharding(mesh, P("all")), local, (len(devs),))
+    out = jax.jit(lambda x: x.sum(),
+                  out_shardings=NamedSharding(mesh, P()))(arr)
+    jax.block_until_ready(out)
 
 
 def local_shard_indices(n_items: int, process_index: int | None = None,

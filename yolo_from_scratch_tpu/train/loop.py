@@ -59,8 +59,18 @@ def _eval_counts(eval_step, params, batch_stats, loader, mesh=None):
         batch_stats = jax.device_put(batch_stats, sh)
     else:
         dev = jax.local_devices()[0]
-        params = jax.device_put(params, dev)
-        batch_stats = jax.device_put(batch_stats, dev)
+
+        def _localize(t):
+            # multihost: train-state arrays live replicated on the GLOBAL
+            # mesh and are not fully addressable from one process — pull
+            # this process's (complete) replica before re-placing locally
+            if isinstance(t, jax.Array) and not t.is_fully_addressable:
+                return jax.device_get(t)
+            return t
+
+        params = jax.device_put(jax.tree.map(_localize, params), dev)
+        batch_stats = jax.device_put(
+            jax.tree.map(_localize, batch_stats), dev)
     losses, tps, fps, fns = [], 0, 0, 0
     per_batch = []
     for images, targets, valid in DeviceQueue(loader, mesh):
