@@ -60,18 +60,37 @@ class ConvBNSiLU(nn.Module):
     def __call__(self, x, train: bool = False):
         pad = self.kernel // 2
         fan_in = x.shape[-1] * self.kernel * self.kernel
-        x = nn.Conv(
-            self.features,
-            (self.kernel, self.kernel),
-            strides=(self.stride, self.stride),
-            padding=((pad, pad), (pad, pad)),
-            use_bias=self.use_bias,
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-            kernel_init=torch_kernel_init,
-            bias_init=torch_bias_init_for(fan_in),
-            name="conv",
-        )(x)
+        from yolo_from_scratch_tpu.ops.conv_bwd import (
+            conv3x3_same,
+            use_fused_bwd,
+        )
+
+        if not self.use_bias and use_fused_bwd(
+                self.kernel, self.stride, x.shape[-1], self.features,
+                x.shape[1], x.shape[2]):
+            # lane-underfilled 3x3: same forward conv, fused Pallas
+            # backward (ops/conv_bwd.py). Params declared identically to
+            # the nn.Conv branch so checkpoints are interchangeable.
+            from yolo_from_scratch_tpu.models.packed import _ConvParams
+
+            kernel, _ = _ConvParams(self.features, x.shape[-1], False,
+                                    fan_in, kernel_size=self.kernel,
+                                    name="conv")()
+            x = conv3x3_same(x.astype(self.dtype),
+                             kernel.astype(self.dtype))
+        else:
+            x = nn.Conv(
+                self.features,
+                (self.kernel, self.kernel),
+                strides=(self.stride, self.stride),
+                padding=((pad, pad), (pad, pad)),
+                use_bias=self.use_bias,
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+                kernel_init=torch_kernel_init,
+                bias_init=torch_bias_init_for(fan_in),
+                name="conv",
+            )(x)
         # BatchNorm+SiLU tail with a memory-lean fused backward in train
         # mode (models/fused_bn.py); identical params/stats/numerics to
         # flax BatchNorm -> nn.silu.

@@ -207,10 +207,23 @@ class GPackedConvBNSiLU(nn.Module):
         wp, s_packed, pad = repack_conv_kernel(
             kernel, self.stride, fi, fo, in_segments=list(segs))
         wp = wp.astype(self.dtype)
-        y = jax.lax.conv_general_dilated(
-            x.astype(self.dtype), wp, (s_packed, s_packed), (pad, pad),
-            dimension_numbers=jax.lax.conv_dimension_numbers(
-                x.shape, wp.shape, ("NHWC", "HWIO", "NHWC")))
+        from yolo_from_scratch_tpu.ops.conv_bwd import (
+            conv3x3_same,
+            use_fused_bwd,
+        )
+
+        if (wp.shape[:2] == (3, 3) and s_packed == 1 and pad == (1, 1)
+                and use_fused_bwd(3, 1, wp.shape[2], wp.shape[3],
+                                  x.shape[1], x.shape[2])):
+            # the packed C3a bottleneck 3x3s (64ch @80x80): identical
+            # forward conv, fused Pallas backward (ops/conv_bwd.py) —
+            # gradients flow through repack_conv_kernel's gather as usual
+            y = conv3x3_same(x.astype(self.dtype), wp)
+        else:
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype), wp, (s_packed, s_packed), (pad, pad),
+                dimension_numbers=jax.lax.conv_dimension_numbers(
+                    x.shape, wp.shape, ("NHWC", "HWIO", "NHWC")))
         if bias is not None:
             y = y + jnp.tile(bias, fo * fo).astype(self.dtype)
         return BNSiLU(features=cout, phases=fo * fo, dtype=self.dtype,
