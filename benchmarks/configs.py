@@ -59,6 +59,7 @@ def run(spec, lr=5e-3, batch=8, stage="all", augment=False, mosaic=False,
     augment: device-side hflip + photometric jitter inside the scanned
     step (ops/augment.py) — the pre-staged epochs otherwise repeat the
     exact same batches, which caps the small-data configs."""
+    spec["_lr"] = lr
     root = f"/tmp/cfgbench_{spec['name']}"
     # pool (echo) runs share the dataset/cache with the pre-staged run of
     # the same regime but keep their own checkpoint
@@ -199,7 +200,10 @@ def run(spec, lr=5e-3, batch=8, stage="all", augment=False, mosaic=False,
     if pool:
         ingest = float(np.median(ingest_rates[len(ingest_rates) // 2:]))
         spec["_ingest_img_s"] = round(ingest, 1)
-        spec["_echo_factor"] = round(train_ips / max(ingest, 1e-9), 1)
+        # ingest < 1 img/s means the pool covered the whole (tiny) set —
+        # an echo ratio is meaningless there
+        spec["_echo_factor"] = (round(train_ips / ingest, 1)
+                                if ingest >= 1.0 else None)
         print(f"pool echo: trained {train_ips:.1f} img/s vs ingest "
               f"{ingest:.1f} img/s = {spec['_echo_factor']}x echo",
               flush=True)
@@ -243,6 +247,8 @@ def _eval(spec, cfg, variables, root, train_ips):
         result["pool"] = spec["pool"]
         result["ingest_img_s"] = spec.get("_ingest_img_s")
         result["echo_factor"] = spec.get("_echo_factor")
+    if spec.get("_lr") not in (None, 5e-3):
+        result["lr"] = spec["_lr"]
     print(json.dumps(result), flush=True)
     out = Path(__file__).parent / "configs_results.jsonl"
     with open(out, "a") as f:
@@ -256,6 +262,7 @@ if __name__ == "__main__":
     mosaic = False
     sparse = False
     pool_n = 0
+    lr_cli = None
     overrides = {}
     keys = []
     args = sys.argv[1:]
@@ -303,6 +310,9 @@ if __name__ == "__main__":
             # count, same dataset; records ingest rate + echo factor
             pool_n = int(args[i + 1])
             i += 1
+        elif a == "--lr":
+            lr_cli = float(args[i + 1])
+            i += 1
         elif a.startswith("-"):
             # fail fast: an unrecognized flag must not be silently taken
             # for a config key (it would crash only AFTER training)
@@ -311,7 +321,8 @@ if __name__ == "__main__":
                              f"--mosaic --sparse-loss --n-train N "
                              f"--n-val N --epochs N --distractors N "
                              f"--class-mode color|shape "
-                             f"--head anchor|anchor_free)")
+                             f"--head anchor|anchor_free --pool P "
+                             f"--lr LR)")
         elif a not in CONFIGS:
             raise SystemExit(f"unknown config {a!r} "
                              f"(have: {sorted(CONFIGS)})")
@@ -329,5 +340,6 @@ if __name__ == "__main__":
                 spec["name"] += "_d{}".format(spec["n_distract"])
             if spec.get("head") == "anchor_free":
                 spec["name"] += "_af"
+        kw = {} if lr_cli is None else {"lr": lr_cli}
         run(spec, stage=stage, augment=augment, mosaic=mosaic,
-            sparse=sparse)
+            sparse=sparse, **kw)

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from yolo_from_scratch_tpu.config import YoloConfig
+from yolo_from_scratch_tpu.config import INV255, YoloConfig
 from yolo_from_scratch_tpu.data.letterbox import letterbox_image
 from yolo_from_scratch_tpu.models.yolo import YOLO
 from yolo_from_scratch_tpu.ops.decode import decode_predictions
@@ -90,6 +90,12 @@ def make_postprocess(model: YOLO, cfg: YoloConfig, conf_threshold=0.5,
 
     @jax.jit
     def postprocess(variables, img, scale, pad_top, pad_left):
+        if img.dtype == jnp.uint8:
+            # uint8 ingress: 4x fewer host->device bytes per request (the
+            # dominant cost through a constrained link — measured
+            # benchmarks/rttbench.py); normalize matches the host loader
+            # bit-for-bit (config.INV255)
+            img = img.astype(jnp.float32) * INV255
         preds = forward(variables, img)
 
         if cfg.head_type == "anchor_free":
@@ -225,6 +231,9 @@ def make_batch_postprocess(model: YOLO, cfg: YoloConfig, conf_threshold=0.5,
 
     @jax.jit
     def postprocess(variables, imgs, scales, pad_tops, pad_lefts):
+        if imgs.dtype == jnp.uint8:
+            # uint8 ingress (see make_postprocess): 4x fewer link bytes
+            imgs = imgs.astype(jnp.float32) * INV255
         preds = forward(variables, imgs)
         b = imgs.shape[0]
         boxes_all, obj_all, cls_all = [], [], []
@@ -378,7 +387,10 @@ class Predictor:
                 for b, s, c, v in zip(boxes, scores, classes, valid) if v
             ]
         img_u8, scale, pad_top, pad_left = letterbox_image(pil, self.cfg.img_size)
-        img_np = img_u8.astype(np.float32)[None] / 255.0
+        # uint8 staging: 4x fewer host->device bytes per request (the
+        # per-call upload dominates single-image latency through a
+        # constrained link — benchmarks/rttbench.py); normalized on-device
+        img_np = img_u8[None]
         if self.cfg.packed_stem:
             # host-side space-to-depth so the packed stem (models/packed.py)
             # never pays the slow on-device layout change
@@ -439,7 +451,7 @@ class PipelinedPredictor:
                if not hasattr(image, "size") else image.convert("RGB"))
         img_u8, scale, pad_top, pad_left = letterbox_image(
             pil, p.cfg.img_size)
-        img_np = img_u8.astype(np.float32)[None] / 255.0
+        img_np = img_u8[None]  # uint8 staging (see Predictor.__call__)
         if p.cfg.packed_stem:
             from yolo_from_scratch_tpu.models.packed import pack_s2d_host
 
@@ -566,8 +578,8 @@ class BatchPredictor:
             arr, scale, pad_top, pad_left = letterbox_image(
                 pil, self.cfg.img_size
             )
-            imgs.append(arr.astype(np.float32) / 255.0)
-            scales.append(scale)
+            imgs.append(arr)  # uint8 staging: 4x fewer link bytes;
+            scales.append(scale)  # normalized on-device (INV255)
             pts.append(pad_top)
             pls.append(pad_left)
 

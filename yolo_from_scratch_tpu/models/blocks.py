@@ -67,7 +67,7 @@ class ConvBNSiLU(nn.Module):
 
         if not self.use_bias and use_fused_bwd(
                 self.kernel, self.stride, x.shape[-1], self.features,
-                x.shape[1], x.shape[2]):
+                x.shape[1], x.shape[2], self.dtype):
             # lane-underfilled 3x3: same forward conv, fused Pallas
             # backward (ops/conv_bwd.py). Params declared identically to
             # the nn.Conv branch so checkpoints are interchangeable.

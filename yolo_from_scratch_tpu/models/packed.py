@@ -214,7 +214,7 @@ class GPackedConvBNSiLU(nn.Module):
 
         if (wp.shape[:2] == (3, 3) and s_packed == 1 and pad == (1, 1)
                 and use_fused_bwd(3, 1, wp.shape[2], wp.shape[3],
-                                  x.shape[1], x.shape[2])):
+                                  x.shape[1], x.shape[2], self.dtype)):
             # the packed C3a bottleneck 3x3s (64ch @80x80): identical
             # forward conv, fused Pallas backward (ops/conv_bwd.py) —
             # gradients flow through repack_conv_kernel's gather as usual

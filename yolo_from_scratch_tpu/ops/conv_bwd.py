@@ -52,19 +52,28 @@ _FUSED_C = 64  # the lane-underfilled channel count worth intercepting
 
 
 def _flag() -> str:
-    # default OFF until the on-TPU A/B (benchmarks/bwdproto.py) proves
-    # the win; flip to "1" once measured (see docs/HISTORY.md round 4)
+    # default OFF — the on-TPU A/B came back NEGATIVE (2026-08-20,
+    # benchmarks/bwdproto.py on v5e): XLA's stock backward pair beats
+    # both Pallas formulations (80x80: xla 134 us vs v1-patch-matrix
+    # 216 us / v2-per-tap 370 us; 40x40: 34 vs 50 / 96). The patch
+    # build's VMEM copy traffic (v1) and the strided-view 64-wide
+    # matmuls (v2) both cost more than the lane underfill they remove.
+    # Kept as an exact opt-in mechanism for future revisiting; full
+    # numbers in docs/HISTORY.md round 4.
     return os.environ.get("YOLO_FUSED_CONV_BWD", "0")
 
 
 def use_fused_bwd(kernel: int, stride: int, cin: int, cout: int,
-                  h: int, w: int) -> bool:
+                  h: int, w: int, dtype=jnp.bfloat16) -> bool:
     """Should this conv use the fused Pallas backward?"""
     if _flag() == "0":
         return False
     if not (kernel == 3 and stride == 1 and cin == cout == _FUSED_C):
         return False
-    if h * w > _MAX_HW:
+    # the VMEM budget is dtype-dependent: f32 doubles every scratch
+    # buffer (measured: 80x80 f32 needs 22.95M vs the 16M limit)
+    limit = _MAX_HW if jnp.dtype(dtype).itemsize <= 2 else _MAX_HW // 2
+    if h * w > limit:
         return False
     if _flag() == "interpret":
         return True
