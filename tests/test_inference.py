@@ -115,3 +115,26 @@ def test_predictor_reuse_multiple_images(cfg, model_and_vars, temp_dataset_dir):
     imgs = sorted((temp_dataset_dir / "val" / "images").glob("*.jpg"))[:2]
     r1, r2 = predictor(str(imgs[0])), predictor(str(imgs[1]))
     assert isinstance(r1, list) and isinstance(r2, list)
+
+
+def test_uint8_ingress_matches_f32(cfg, model_and_vars):
+    """The serving programs accept uint8 images (4x fewer link bytes)
+    and normalize on-device with config.INV255 — bit-identical results
+    to feeding the host-normalized f32 image into the same program."""
+    import jax.numpy as jnp
+
+    from yolo_from_scratch_tpu.config import INV255
+    from yolo_from_scratch_tpu.infer.predict import make_postprocess
+    from yolo_from_scratch_tpu.models.yolo import YOLO
+
+    model, variables = model_and_vars
+    post = make_postprocess(YOLO(cfg), cfg, conf_threshold=0.01)
+    rng = np.random.default_rng(3)
+    img_u8 = rng.integers(0, 256, (1, cfg.img_size, cfg.img_size, 3),
+                          dtype=np.uint8)
+    out_u8 = post(variables, jnp.asarray(img_u8), 1.0, 0.0, 0.0)
+    out_f32 = post(variables,
+                   jnp.asarray(img_u8.astype(np.float32) * INV255),
+                   1.0, 0.0, 0.0)
+    for a, b in zip(out_u8, out_f32):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
