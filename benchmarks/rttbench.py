@@ -109,13 +109,47 @@ def main():
         pred(pil)
         times.append(time.perf_counter() - t0)
     p50 = statistics.median(times)
-    log(f"synchronous predict p50: {p50 * 1000:.2f} ms "
-        f"(= rtt {rtt * 1000:.2f} + device+host {max(p50 - rtt, 0) * 1000:.2f})")
+
+    # stage decomposition: where does the end-to-end time go?
+    from yolo_from_scratch_tpu.data.letterbox import letterbox_image
+
+    img_u8, scale, pt, pl_ = letterbox_image(pil, cfg.img_size)
+    staged = img_u8[None]
+    if cfg.packed_stem:
+        from yolo_from_scratch_tpu.models.packed import pack_s2d_host
+
+        staged = pack_s2d_host(staged)
+
+    def med(f, n=10):
+        ts = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            f()
+            ts.append(time.perf_counter() - t0)
+        return statistics.median(ts)
+
+    t_upload = med(lambda: jax.block_until_ready(jnp.asarray(staged)))
+    dev_img = jnp.asarray(staged)
+
+    def dispatch():
+        out = pred._post(pred.variables, dev_img, float(scale),
+                         float(pt), float(pl_))
+        jax.block_until_ready(out)
+
+    t_dispatch = med(dispatch)
+    mb = staged.nbytes / 1e6
+    log(f"synchronous predict p50: {p50 * 1000:.2f} ms = upload "
+        f"{t_upload * 1000:.1f} ms ({mb:.1f} MB uint8 at "
+        f"{mb / t_upload:.1f} MB/s in-context) + dispatch+exec "
+        f"{t_dispatch * 1000:.1f} ms (incl. {rtt * 1000:.1f} ms rtt; "
+        f"device time is ~0.9 ms, BASELINE.md)")
 
     result = {
         "rtt_floor_ms": round(rtt * 1000, 2),
         "predict_p50_ms": round(p50 * 1000, 2),
-        "predict_minus_rtt_ms": round((p50 - rtt) * 1000, 2),
+        "upload_ms": round(t_upload * 1000, 1),
+        "upload_mb": round(mb, 2),
+        "dispatch_exec_ms": round(t_dispatch * 1000, 1),
         "pipelined_img_s": {},
     }
     for depth in (1, 2, 4, 8):
