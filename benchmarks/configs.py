@@ -193,6 +193,8 @@ def run(spec, lr=5e-3, batch=8, stage="all", augment=False, mosaic=False,
                   flush=True)
             if not np.isfinite(loss):
                 raise SystemExit("diverged")
+    if pool:
+        stream.stop()
     # steady state: median of the second half
     med = float(np.median(times[len(times) // 2:]))
     n_epoch_imgs = stream.images_per_epoch if pool else n_scan * batch

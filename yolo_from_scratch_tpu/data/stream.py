@@ -177,6 +177,15 @@ class PoolStream:
         self._epoch_ingested = 0
         self._writer = self._make_writer()
         self._init_pool()
+        # PERSISTENT refresher: staging one slab through a slow link can
+        # take longer than a whole (short) epoch — a per-epoch thread
+        # would then discard its partial slab at every epoch boundary and
+        # the pool would silently NEVER refresh (observed: 12 s epochs vs
+        # 43 s slabs -> ingest 0). One daemon thread owns the cursor and
+        # runs across epochs; run_epoch drains whatever completed.
+        self._slab_q: queue.Queue = queue.Queue(maxsize=2)
+        self._stop = threading.Event()
+        self._thread: threading.Thread | None = None
 
     # -- pool construction / refresh ------------------------------------
 
@@ -229,54 +238,63 @@ class PoolStream:
     def images_per_epoch(self):
         return self.steps_per_epoch * self.batch_size
 
-    def run_epoch(self, trainer, state):
-        """One epoch (same step count as a plain epoch over the cache):
-        dispatch scan chunks sampling from the pool; between dispatches
-        apply any refresh slabs the background thread staged. Returns
-        (state, metrics_means + ingest telemetry, n_images, seconds)."""
-        n_chunks = self.steps_per_epoch // self.steps_per_chunk
-        slab_q: queue.Queue = queue.Queue(maxsize=2)
-        stop = threading.Event()
-        self._epoch_ingested = 0
+    def _ensure_refresher(self):
+        if self._thread is not None and self._thread.is_alive():
+            return
 
         def refresher():
-            while not stop.is_set():
+            while not self._stop.is_set():
                 staged = self._stage_slab()
                 # block until the consumer drains — bounded so shutdown
                 # can't deadlock on a full queue
-                while not stop.is_set():
+                while not self._stop.is_set():
                     try:
-                        slab_q.put(staged, timeout=0.1)
+                        self._slab_q.put(staged, timeout=0.1)
                         break
                     except queue.Full:
                         continue
 
-        t = threading.Thread(target=refresher, daemon=True)
-        t.start()
+        self._stop.clear()
+        self._thread = threading.Thread(target=refresher, daemon=True)
+        self._thread.start()
+
+    def stop(self):
+        """Stop the background refresher (call after the last epoch so it
+        does not keep staging transfers during eval/checkpointing)."""
+        self._stop.set()
+        try:
+            while True:
+                self._slab_q.get_nowait()
+        except queue.Empty:
+            pass
+        if self._thread is not None:
+            self._thread.join(timeout=5.0)
+            self._thread = None
+
+    def run_epoch(self, trainer, state):
+        """One epoch (same step count as a plain epoch over the cache):
+        dispatch scan chunks sampling from the pool; between dispatches
+        apply any refresh slabs the background thread staged (the thread
+        persists ACROSS epochs — see __init__). Returns
+        (state, metrics_means + ingest telemetry, n_images, seconds)."""
+        n_chunks = self.steps_per_epoch // self.steps_per_chunk
+        self._epoch_ingested = 0
+        self._ensure_refresher()
         metrics_acc = []
         t0 = time.perf_counter()
-        try:
-            for _ in range(n_chunks):
-                idx = self._rng.integers(
-                    0, self.pool_size,
-                    (self.steps_per_chunk, self.batch_size), np.int32)
-                state, metrics = trainer(state, *self.pool, idx)
-                metrics_acc.append(metrics)
-                # fold in every slab that finished while the chunk ran
-                try:
-                    while True:
-                        staged, slot = slab_q.get_nowait()
-                        self._apply_slab(staged, slot)
-                except queue.Empty:
-                    pass
-        finally:
-            stop.set()
+        for _ in range(n_chunks):
+            idx = self._rng.integers(
+                0, self.pool_size,
+                (self.steps_per_chunk, self.batch_size), np.int32)
+            state, metrics = trainer(state, *self.pool, idx)
+            metrics_acc.append(metrics)
+            # fold in every slab that finished while the chunk ran
             try:
                 while True:
-                    slab_q.get_nowait()
+                    staged, slot = self._slab_q.get_nowait()
+                    self._apply_slab(staged, slot)
             except queue.Empty:
                 pass
-            t.join(timeout=5.0)
         metrics_acc = jax.device_get(metrics_acc)
         dt = time.perf_counter() - t0
         n = max(len(metrics_acc), 1)

@@ -300,6 +300,10 @@ def fit(
             extra=extra,
         )
 
+    if stream is not None and hasattr(stream, "stop"):
+        # PoolStream's persistent refresher must not keep staging
+        # transfers after the last epoch
+        stream.stop()
     return state, save_path
 
 
