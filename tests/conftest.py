@@ -75,6 +75,8 @@ SLOW_TESTS = {
     "tests/test_quantize.py::test_quant_apply_per_conv_error_bounded",
     "tests/test_resume.py::test_resumed_step_matches_uninterrupted",
     "tests/test_sharding.py::test_gradients_2d_spatial_sharding_match",
+    "tests/test_sharding.py::test_train_step_2d_spatial_packed_matches_single_device",
+    "tests/test_distributed.py::test_two_process_train_matches_single_process",
     "tests/test_sparse_loss.py::test_compact_trainer_sparse_matches_dense",
     "tests/test_sharding.py::test_gradients_sharded_match_single_device",
     "tests/test_sharding.py::test_train_step_sharded_matches_single_device",

@@ -232,3 +232,41 @@ def test_eval_step_sharded_counts_match(cfg):
     np.testing.assert_array_equal(tp1, tp2)
     np.testing.assert_array_equal(fp1, fp2)
     np.testing.assert_array_equal(fn1, fn2)
+
+
+def test_train_step_2d_spatial_packed_matches_single_device(cfg):
+    """The round-4 TPU DEFAULT layout (packed-p3) under spatial
+    partitioning: a (S/4, S/4, 48) packed input shards its height dim on
+    `space` like any NHWC map, and GSPMD's halo exchanges for the
+    packed-domain convs must reproduce the unsharded step — the zero-
+    flags CLI combines these two features on TPU (--data-parallel
+    --spatial N), so the combination needs its own equivalence pin."""
+    from yolo_from_scratch_tpu.models.packed import pack_s2d_host
+
+    cfg_p = cfg.with_(packed_stem=True, packed_interior=True,
+                      packed_p3=True)
+    model, tx, state = create_train_state(jax.random.PRNGKey(0), cfg_p,
+                                          1e-3, batch_size=1)
+    step = make_train_step(model, tx, cfg_p, donate=False)
+    state = set_learning_rate(state, 1e-3)
+
+    rng = np.random.default_rng(5)
+    images = pack_s2d_host(
+        rng.random((4, cfg.img_size, cfg.img_size, 3)).astype(np.float32))
+    targets = [np.zeros((4, g, g, 3, 6), np.float32)
+               for g in cfg_p.grid_sizes]
+    targets[0][:, 4, 4, 0] = [0.28, 0.28, 0.1, 0.1, 1.0, 1.0]
+
+    _, m1 = step(state, jnp.asarray(images),
+                 [jnp.asarray(t) for t in targets])
+    l1 = float(m1["loss"])
+
+    mesh = make_mesh_2d(2)  # 4 data x 2 space
+    rep = replicated_sharding(mesh)
+    _, m2 = step(
+        jax.device_put(state, rep),
+        jax.device_put(images, image_sharding(mesh)),
+        [jax.device_put(t, target_sharding(mesh)) for t in targets],
+    )
+    l2 = float(m2["loss"])
+    assert l1 == pytest.approx(l2, rel=2e-5), (l1, l2)
