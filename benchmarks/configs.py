@@ -50,6 +50,21 @@ CONFIGS = {
 }
 
 
+def _recipe_tag(spec):
+    """Filename tag for the recipe-study knobs so A/B runs of the same
+    regime keep distinct checkpoints/ips records."""
+    parts = []
+    if spec.get("step_lr"):
+        parts.append("steplr")
+    if spec.get("ema"):
+        parts.append(f"ema{spec['ema']}")
+    for k, v in sorted((spec.get("af_hp") or {}).items()):
+        parts.append(f"{k}{v}")
+    if spec.get("_lr") not in (None, 5e-3):
+        parts.append(f"lr{spec['_lr']}")
+    return ("_" + "_".join(parts)).replace(" ", "") if parts else ""
+
+
 def run(spec, lr=5e-3, batch=8, stage="all", augment=False, mosaic=False,
         sparse=False):
     """stage: 'all' | 'train' (train + save ckpt, skip eval) | 'eval'
@@ -61,17 +76,18 @@ def run(spec, lr=5e-3, batch=8, stage="all", augment=False, mosaic=False,
     exact same batches, which caps the small-data configs."""
     spec["_lr"] = lr
     root = f"/tmp/cfgbench_{spec['name']}"
+    tag = _recipe_tag(spec)
     # pool (echo) runs share the dataset/cache with the pre-staged run of
     # the same regime but keep their own checkpoint
-    ckpt = (f"{root}/trained_pool{spec['pool']}.ckpt" if spec.get("pool")
-            else f"{root}/trained.ckpt")
+    ckpt = (f"{root}/trained_pool{spec['pool']}{tag}.ckpt"
+            if spec.get("pool") else f"{root}/trained{tag}.ckpt")
     if stage == "eval":
         from yolo_from_scratch_tpu.utils.checkpoint import load_checkpoint
 
         variables, cfg, _ = load_checkpoint(ckpt)
         # the train stage persisted its throughput so the recorded result
         # row is a self-contained measurement (train + eval of one run)
-        ips_file = Path(root) / "train_ips.json"
+        ips_file = Path(root) / f"train_ips{tag}.json"
         train_ips = (json.loads(ips_file.read_text())["train_img_s"]
                      if ips_file.exists() else None)
         return _eval(spec, cfg, variables, root, train_ips=train_ips)
@@ -154,6 +170,18 @@ def run(spec, lr=5e-3, batch=8, stage="all", augment=False, mosaic=False,
         model, tx, state = create_train_state(jax.random.PRNGKey(0), cfg, lr,
                                               batch_size=1)
     state = jax.device_put(state, jax.devices()[0])
+    af_hp = spec.get("af_hp") or None
+    ema_decay = spec.get("ema") or None
+    step_lr = None
+    if spec.get("step_lr"):
+        from yolo_from_scratch_tpu.train.schedule import make_step_lr
+
+        n_steps_epoch = (stream.steps_per_epoch if pool
+                         else len(ds) // batch)
+        step_lr = make_step_lr(
+            total_steps=spec["epochs"] * n_steps_epoch,
+            warmup_steps=3 * n_steps_epoch, initial_lr=lr, min_lr=lr / 100,
+        )
     if pool:
         from yolo_from_scratch_tpu.train.steps import (
             make_train_step_multi_pool,
@@ -162,29 +190,74 @@ def run(spec, lr=5e-3, batch=8, stage="all", augment=False, mosaic=False,
         steps = make_train_step_multi_pool(model, tx, cfg,
                                            device_augment=augment,
                                            device_mosaic=mosaic,
-                                           sparse_loss=sparse)
+                                           sparse_loss=sparse,
+                                           af_hp=af_hp)
     else:
         steps = make_train_step_multi_compact(model, tx, cfg,
                                               device_augment=augment,
                                               device_mosaic=mosaic,
-                                              sparse_loss=sparse)
+                                              sparse_loss=sparse,
+                                              af_hp=af_hp,
+                                              step_lr=step_lr,
+                                              ema_decay=ema_decay)
+
+    ema = None
+    if ema_decay:
+        from yolo_from_scratch_tpu.train.ema import ema_init
+
+        ema = ema_init({"params": state.params,
+                        "batch_stats": state.batch_stats})
+
+    stats_fn = None
+    if spec.get("tal_stats") and not pool:
+        # TAL instrumentation probe (VERDICT r4 #1): assignment
+        # diagnostics on the first staged batch every 10 epochs, one
+        # JSONL row each, so a working and a collapsing regime can be
+        # diffed trace against trace.
+        from yolo_from_scratch_tpu.models.anchor_free import (
+            make_af_stats_fn,
+        )
+
+        tal_kw = {k: (af_hp or {})[k] for k in ("topk", "alpha", "beta")
+                  if k in (af_hp or {})}
+        stats_fn = make_af_stats_fn(model, cfg, **tal_kw)
+        stats_path = Path(root) / f"tal_stats{tag}.jsonl"
+        stats_path.write_text("")
+        probe = (imgs[0], labels[0], counts[0])
 
     t_compile = time.time()
     times = []
     ingest_rates = []
     for epoch in range(spec["epochs"]):
-        state = set_learning_rate(
-            state, lr_at_epoch(epoch, 3, spec["epochs"], lr, lr / 100)
-        )
+        if step_lr is None:
+            state = set_learning_rate(
+                state, lr_at_epoch(epoch, 3, spec["epochs"], lr, lr / 100)
+            )
         t0 = time.perf_counter()
         if pool:
             state, means, n_img, dt = stream.run_epoch(steps, state)
             loss = means["loss"]
             ingest_rates.append(means["ingest_img_s"])
+        elif ema is not None:
+            (state, ema), m = steps((state, ema), imgs, labels, counts)
+            loss = float(m["loss"])
         else:
             state, m = steps(state, imgs, labels, counts)
             loss = float(m["loss"])  # hard sync each epoch
         times.append(time.perf_counter() - t0)
+        if stats_fn is not None and (epoch % 10 == 0
+                                     or epoch == spec["epochs"] - 1):
+            s = jax.device_get(stats_fn(state.params, state.batch_stats,
+                                        *probe))
+            row = {"epoch": epoch,
+                   **{k: round(float(v), 5) for k, v in sorted(s.items())}}
+            with open(stats_path, "a") as f:
+                f.write(json.dumps(row) + "\n")
+            print(f"  tal[{epoch}]: fg/img {row['fg_per_img']:.1f} "
+                  f"starved {row['starved_gt_frac']:.2f} "
+                  f"best_iou {row['gt_best_iou']:.3f} "
+                  f"cls_fg {row['cls_fg_mean']:.3f} "
+                  f"tgt_max {row['tgt_score_max']:.3f}", flush=True)
         if epoch % 20 == 0 or epoch == spec["epochs"] - 1:
             extra_log = (f" ingest {ingest_rates[-1]:.1f} img/s"
                          if pool else "")
@@ -212,11 +285,15 @@ def run(spec, lr=5e-3, batch=8, stage="all", augment=False, mosaic=False,
 
     from yolo_from_scratch_tpu.utils.checkpoint import save_checkpoint
 
-    variables = {"params": jax.device_get(state.params),
-                 "batch_stats": jax.device_get(state.batch_stats)}
+    if ema is not None:
+        # the A/B evaluates the EMA weights — that's the lever under test
+        variables = jax.device_get(ema)
+    else:
+        variables = {"params": jax.device_get(state.params),
+                     "batch_stats": jax.device_get(state.batch_stats)}
     save_checkpoint(ckpt, variables, cfg, epoch=spec["epochs"] - 1)
     print(f"train_img_s: {train_ips:.1f} (ckpt -> {ckpt})", flush=True)
-    (Path(root) / "train_ips.json").write_text(
+    (Path(root) / f"train_ips{tag}.json").write_text(
         json.dumps({"train_img_s": round(train_ips, 1)}))
     if stage == "train":
         return {"train_img_s": round(train_ips, 1)}
@@ -251,6 +328,12 @@ def _eval(spec, cfg, variables, root, train_ips):
         result["echo_factor"] = spec.get("_echo_factor")
     if spec.get("_lr") not in (None, 5e-3):
         result["lr"] = spec["_lr"]
+    if spec.get("step_lr"):
+        result["step_lr"] = True
+    if spec.get("ema"):
+        result["ema"] = spec["ema"]
+    if spec.get("af_hp"):
+        result["af_hp"] = spec["af_hp"]
     print(json.dumps(result), flush=True)
     out = Path(__file__).parent / "configs_results.jsonl"
     with open(out, "a") as f:
@@ -315,6 +398,32 @@ if __name__ == "__main__":
         elif a == "--lr":
             lr_cli = float(args[i + 1])
             i += 1
+        elif a == "--tal-stats":
+            # per-10-epoch TAL assignment diagnostics JSONL (VERDICT r4
+            # #1 instrumentation); anchor_free head, pre-staged runs only
+            overrides["tal_stats"] = True
+        elif a == "--step-lr":
+            # per-STEP warmup+cosine instead of the per-epoch schedule
+            overrides["step_lr"] = True
+        elif a == "--ema":
+            # evaluate/save the EMA of params+batch_stats at this decay
+            overrides["ema"] = float(args[i + 1])
+            i += 1
+        elif a == "--af-hp":
+            # anchor-free loss hyperparameter overrides, e.g.
+            # --af-hp topk=13,alpha=1.0,cls_weight=1.0
+            hp = {}
+            for kv in args[i + 1].split(","):
+                k, v = kv.split("=")
+                hp[k] = int(v) if k == "topk" else float(v)
+            allowed = {"topk", "alpha", "beta", "box_weight",
+                       "cls_weight", "dfl_weight"}
+            bad = set(hp) - allowed
+            if bad:
+                raise SystemExit(f"unknown af-hp keys {sorted(bad)} "
+                                 f"(have: {sorted(allowed)})")
+            overrides["af_hp"] = hp
+            i += 1
         elif a.startswith("-"):
             # fail fast: an unrecognized flag must not be silently taken
             # for a config key (it would crash only AFTER training)
@@ -324,7 +433,8 @@ if __name__ == "__main__":
                              f"--n-val N --epochs N --distractors N "
                              f"--class-mode color|shape "
                              f"--head anchor|anchor_free --pool P "
-                             f"--lr LR)")
+                             f"--lr LR --tal-stats --step-lr --ema D "
+                             f"--af-hp k=v,...)")
         elif a not in CONFIGS:
             raise SystemExit(f"unknown config {a!r} "
                              f"(have: {sorted(CONFIGS)})")

@@ -290,12 +290,18 @@ def _resolve_fast_defaults(args):
     if args.dtype == "auto":
         args.dtype = auto["compute_dtype"]
     level = args.packed
-    if args.packed_p3:
-        level = "p3"
-    elif args.packed_interior:
-        level = "interior"
-    elif args.packed_stem:
-        level = "stem"
+    alias = ("p3" if args.packed_p3 else
+             "interior" if args.packed_interior else
+             "stem" if args.packed_stem else None)
+    if alias is not None:
+        if level not in ("auto", alias):
+            # '--packed p3 --packed-stem' must not silently downgrade to
+            # 'stem' — the boolean flags are documented as aliases, so a
+            # conflicting explicit --packed is an error (ADVICE r4)
+            raise SystemExit(
+                f"conflicting packing flags: --packed {level} vs the "
+                f"--packed-{alias} alias")
+        level = alias
     if level == "auto":
         level = "p3" if auto["packed_p3"] else "none"
     args.packed = level

@@ -239,8 +239,17 @@ class PoolStream:
         return self.steps_per_epoch * self.batch_size
 
     def _ensure_refresher(self):
-        if self._thread is not None and self._thread.is_alive():
-            return
+        t = self._thread
+        if t is not None:
+            if not self._stop.is_set() and t.is_alive():
+                return
+            # a previous stop() may have timed out with the thread still
+            # mid-slab (_stage_slab can take ~43 s through a slow link).
+            # Wait for it to actually exit BEFORE clearing the stop event:
+            # clearing first would let the orphan resume and race a new
+            # refresher on the shared cursor/slot state.
+            t.join()
+            self._thread = None
 
         def refresher():
             while not self._stop.is_set():
@@ -269,7 +278,11 @@ class PoolStream:
             pass
         if self._thread is not None:
             self._thread.join(timeout=5.0)
-            self._thread = None
+            if not self._thread.is_alive():
+                self._thread = None
+            # else: keep the handle — _ensure_refresher joins it before
+            # starting a replacement, so a slow in-flight slab can never
+            # yield two refreshers racing on the cursor
 
     def run_epoch(self, trainer, state):
         """One epoch (same step count as a plain epoch over the cache):
@@ -282,19 +295,27 @@ class PoolStream:
         self._ensure_refresher()
         metrics_acc = []
         t0 = time.perf_counter()
-        for _ in range(n_chunks):
-            idx = self._rng.integers(
-                0, self.pool_size,
-                (self.steps_per_chunk, self.batch_size), np.int32)
-            state, metrics = trainer(state, *self.pool, idx)
-            metrics_acc.append(metrics)
-            # fold in every slab that finished while the chunk ran
-            try:
-                while True:
-                    staged, slot = self._slab_q.get_nowait()
-                    self._apply_slab(staged, slot)
-            except queue.Empty:
-                pass
+        try:
+            for _ in range(n_chunks):
+                idx = self._rng.integers(
+                    0, self.pool_size,
+                    (self.steps_per_chunk, self.batch_size), np.int32)
+                state, metrics = trainer(state, *self.pool, idx)
+                metrics_acc.append(metrics)
+                # fold in every slab that finished while the chunk ran
+                try:
+                    while True:
+                        staged, slot = self._slab_q.get_nowait()
+                        self._apply_slab(staged, slot)
+                except queue.Empty:
+                    pass
+        except BaseException:
+            # a trainer failure (OOM, non-finite guard) must not leave the
+            # persistent refresher staging transfers for the rest of the
+            # process — callers' normal-return path calls stop(), this is
+            # the failure path's equivalent
+            self.stop()
+            raise
         metrics_acc = jax.device_get(metrics_acc)
         dt = time.perf_counter() - t0
         n = max(len(metrics_acc), 1)

@@ -274,7 +274,8 @@ def _pairwise_iou_xyxy(gt, pred):
 
 
 def tal_assign(pred_scores, pred_xyxy, anchor_pts, gt_boxes, gt_cls,
-               gt_valid, topk=TAL_TOPK, alpha=TAL_ALPHA, beta=TAL_BETA):
+               gt_valid, topk=TAL_TOPK, alpha=TAL_ALPHA, beta=TAL_BETA,
+               with_stats=False):
     """Task-aligned assignment (dense, static shapes).
 
     Args:
@@ -284,6 +285,9 @@ def tal_assign(pred_scores, pred_xyxy, anchor_pts, gt_boxes, gt_cls,
         gt_boxes: (B, M, 4) cxcywh normalized.
         gt_cls: (B, M, nc) one-hot.
         gt_valid: (B, M) 0/1.
+        with_stats: also return a "stats" dict of assignment diagnostics
+            (scalars; see `make_af_stats_fn`) — the instrumentation the
+            nc=80 collapse analysis runs on (VERDICT r4 #1).
 
     Returns dict with:
         fg (B, A) float 0/1 foreground mask;
@@ -339,8 +343,43 @@ def tal_assign(pred_scores, pred_xyxy, anchor_pts, gt_boxes, gt_cls,
     target_cls_onehot = jnp.einsum("bam,bmc->bac", assigned, gt_cls)
     target_scores = target_cls_onehot * anchor_align[..., None]
 
-    return {"fg": fg, "target_boxes": target_boxes,
-            "target_scores": target_scores}
+    out = {"fg": fg, "target_boxes": target_boxes,
+           "target_scores": target_scores}
+    if with_stats:
+        n_gt = jnp.maximum(jnp.sum(gt_valid), 1.0)
+        n_img = jnp.asarray(gt_valid.shape[0], jnp.float32)
+        fg_f = fg
+        # per-GT: in-box candidate count, selected count, assigned count
+        per_gt_in = jnp.sum(in_gt, axis=2)
+        per_gt_sel = jnp.sum(cand.astype(align.dtype), axis=2)
+        # assigned is (B, A, M): cells each GT finally owns
+        per_gt_asn = jnp.sum(assigned, axis=1)                 # (B, M)
+        starved = (gt_valid > 0) & (per_gt_asn < 0.5)
+        max_iou_gt = jnp.max(iou * in_gt, axis=2)              # (B, M)
+        gmask = gt_valid
+        out["stats"] = {
+            "fg_per_img": jnp.sum(fg_f) / n_img,
+            "gt_per_img": jnp.sum(gt_valid) / n_img,
+            "cand_in_per_gt": jnp.sum(per_gt_in * gmask) / n_gt,
+            "cand_sel_per_gt": jnp.sum(per_gt_sel * gmask) / n_gt,
+            "assigned_per_gt": jnp.sum(per_gt_asn * gmask) / n_gt,
+            "starved_gt_frac": jnp.sum(starved) / n_gt,
+            "gt_best_iou": jnp.sum(max_iou_gt * gmask) / n_gt,
+            "align_fg_mean": jnp.sum(best_val) / jnp.maximum(
+                jnp.sum(fg_f), 1.0),
+            "align_max": jnp.max(best_val),
+            "tgt_score_sum": jnp.sum(target_scores),
+            "tgt_score_max": jnp.max(target_scores),
+            # sigmoid score of the assigned class at fg cells (task
+            # alignment of the cls branch) vs the background ceiling
+            "cls_fg_mean": jnp.sum(
+                jnp.einsum("bac,bac->ba", pred_scores, target_cls_onehot)
+            ) / jnp.maximum(jnp.sum(fg_f), 1.0),
+            "cls_bg_p99": jnp.percentile(
+                jnp.max(pred_scores, axis=-1) * (1.0 - fg_f), 99.0),
+            "cls_max": jnp.max(pred_scores),
+        }
+    return out
 
 
 def _dfl_loss(dist_logits, target_ltrb):
@@ -359,47 +398,19 @@ def _dfl_loss(dist_logits, target_ltrb):
     return jnp.sum(-(wl * lp_l + wr * lp_r), axis=-1)
 
 
-def yolo_loss_anchor_free(predictions, targets, num_classes, img_size,
-                          box_weight=7.5, cls_weight=0.5, dfl_weight=1.5):
-    """v8-recipe anchor-free loss: TAL assignment from the current
-    predictions, then BCE on soft class targets over ALL cells + CIoU +
-    DFL on assigned cells, all weighted by the alignment scores.
-    Returns (total, bbox, cls) — same contract as round 1."""
-    gt_boxes, gt_cls, gt_valid = _gather_gt(targets, num_classes)
-    return yolo_loss_anchor_free_from_gt(
-        predictions, gt_boxes, gt_cls, gt_valid, num_classes, img_size,
-        box_weight, cls_weight, dfl_weight,
-    )
+def _flatten_af_preds(predictions, num_classes, img_size):
+    """Flatten the per-scale head outputs into all-cells tensors.
 
-
-def yolo_loss_anchor_free_from_gt(predictions, gt_boxes, gt_cls, gt_valid,
-                                  num_classes, img_size, box_weight=7.5,
-                                  cls_weight=0.5, dfl_weight=1.5):
-    """The anchor-free loss on an explicit padded GT set — TAL assigns
-    from GT box LISTS, so the dense maps the anchor head needs are pure
-    transport here (`_gather_gt` strips them right back off). The compact
-    training path (data/assign_device.py) therefore feeds this directly:
-    gt_boxes = labels[..., 1:5], gt_cls = one-hot, gt_valid = row mask —
-    no dense materialization anywhere, and no per-cell collision loss
-    (two GTs whose centers share a cell both survive as TAL candidates,
-    where the dense transport kept only one).
-
-    Args:
-        gt_boxes: (B, M, 4) cxcywh normalized.
-        gt_cls: (B, M, nc) one-hot (zero rows where invalid).
-        gt_valid: (B, M) float 0/1.
-    """
-    import optax
-
+    Returns (dist (B, A, 4, REG_MAX), cls_logits (B, A, nc),
+    boxes_cxcywh (B, A, 4), boxes_xyxy (B, A, 4), anchor_pts (A, 2),
+    strides (A,)) — all float32, A = sum of grid cells across scales."""
     from yolo_from_scratch_tpu.config import STRIDES
-    from yolo_from_scratch_tpu.ops.ciou import ciou
 
     b = predictions[0].shape[0]
     pts_np, strides_np = _anchor_points(img_size)
     anchor_pts = jnp.asarray(pts_np)
     strides = jnp.asarray(strides_np)
 
-    # flatten all scales: dist logits, cls logits, decoded boxes
     dist_all, cls_all, boxes_all = [], [], []
     for pred, stride in zip(predictions, STRIDES):
         _, h, w, _ = pred.shape
@@ -416,9 +427,55 @@ def yolo_loss_anchor_free_from_gt(predictions, gt_boxes, gt_cls, gt_valid,
         [boxes_cxcywh[..., 0:2] - boxes_cxcywh[..., 2:4] / 2,
          boxes_cxcywh[..., 0:2] + boxes_cxcywh[..., 2:4] / 2], axis=-1
     )
+    return dist, cls_logits, boxes_cxcywh, boxes_xyxy, anchor_pts, strides
+
+
+def yolo_loss_anchor_free(predictions, targets, num_classes, img_size,
+                          box_weight=7.5, cls_weight=0.5, dfl_weight=1.5,
+                          **tal_kw):
+    """v8-recipe anchor-free loss: TAL assignment from the current
+    predictions, then BCE on soft class targets over ALL cells + CIoU +
+    DFL on assigned cells, all weighted by the alignment scores.
+    Returns (total, bbox, cls) — same contract as round 1."""
+    gt_boxes, gt_cls, gt_valid = _gather_gt(targets, num_classes)
+    return yolo_loss_anchor_free_from_gt(
+        predictions, gt_boxes, gt_cls, gt_valid, num_classes, img_size,
+        box_weight, cls_weight, dfl_weight, **tal_kw,
+    )
+
+
+def yolo_loss_anchor_free_from_gt(predictions, gt_boxes, gt_cls, gt_valid,
+                                  num_classes, img_size, box_weight=7.5,
+                                  cls_weight=0.5, dfl_weight=1.5,
+                                  topk=TAL_TOPK, alpha=TAL_ALPHA,
+                                  beta=TAL_BETA):
+    """The anchor-free loss on an explicit padded GT set — TAL assigns
+    from GT box LISTS, so the dense maps the anchor head needs are pure
+    transport here (`_gather_gt` strips them right back off). The compact
+    training path (data/assign_device.py) therefore feeds this directly:
+    gt_boxes = labels[..., 1:5], gt_cls = one-hot, gt_valid = row mask —
+    no dense materialization anywhere, and no per-cell collision loss
+    (two GTs whose centers share a cell both survive as TAL candidates,
+    where the dense transport kept only one).
+
+    Args:
+        gt_boxes: (B, M, 4) cxcywh normalized.
+        gt_cls: (B, M, nc) one-hot (zero rows where invalid).
+        gt_valid: (B, M) float 0/1.
+        topk/alpha/beta: TAL knobs (v8 defaults) — exposed for the
+            nc=80 recipe study (VERDICT r4 #1).
+    """
+    import optax
+
+    from yolo_from_scratch_tpu.ops.ciou import ciou
+
+    dist, cls_logits, boxes_cxcywh, boxes_xyxy, anchor_pts, strides = (
+        _flatten_af_preds(predictions, num_classes, img_size)
+    )
 
     asn = tal_assign(jax.nn.sigmoid(cls_logits), boxes_xyxy, anchor_pts,
-                     gt_boxes, gt_cls, gt_valid)
+                     gt_boxes, gt_cls, gt_valid, topk=topk, alpha=alpha,
+                     beta=beta)
     fg = asn["fg"]
     target_scores = asn["target_scores"]
     score_sum = jnp.maximum(jnp.sum(target_scores), 1.0)
@@ -450,3 +507,78 @@ def yolo_loss_anchor_free_from_gt(predictions, gt_boxes, gt_cls, gt_valid,
     total = (box_weight * box_loss + cls_weight * cls_loss
              + dfl_weight * dfl_loss_v)
     return total, box_loss, cls_loss
+
+
+def af_assignment_stats(predictions, gt_boxes, gt_cls, gt_valid,
+                        num_classes, img_size, topk=TAL_TOPK,
+                        alpha=TAL_ALPHA, beta=TAL_BETA):
+    """TAL diagnostics on one batch (VERDICT r4 #1 instrumentation).
+
+    Returns a dict of scalars: the `tal_assign` stats plus per-scale fg
+    splits and the DFL target-clipping fraction (fg cells whose true
+    edge distance exceeds REG_MAX-1 stride units — cells the DFL head
+    cannot actually regress to their target)."""
+    from yolo_from_scratch_tpu.config import STRIDES
+
+    dist, cls_logits, boxes_cxcywh, boxes_xyxy, anchor_pts, strides = (
+        _flatten_af_preds(predictions, num_classes, img_size)
+    )
+    asn = tal_assign(jax.nn.sigmoid(cls_logits), boxes_xyxy, anchor_pts,
+                     gt_boxes, gt_cls, gt_valid, topk=topk, alpha=alpha,
+                     beta=beta, with_stats=True)
+    stats = asn["stats"]
+    fg = asn["fg"]
+    n_img = jnp.asarray(fg.shape[0], jnp.float32)
+
+    # per-scale foreground split
+    bounds = np.cumsum([0] + [(img_size // s) ** 2 for s in STRIDES])
+    for i, name in enumerate(("p3", "p4", "p5")):
+        stats[f"fg_{name}_per_img"] = (
+            jnp.sum(fg[:, bounds[i]:bounds[i + 1]]) / n_img
+        )
+
+    # DFL representability: true ltrb of the ASSIGNED target at fg cells
+    tb = asn["target_boxes"]
+    t_xyxy = jnp.concatenate(
+        [tb[..., 0:2] - tb[..., 2:4] / 2, tb[..., 0:2] + tb[..., 2:4] / 2],
+        axis=-1,
+    )
+    scale = (img_size / strides)[None, :, None]
+    ltrb = jnp.concatenate(
+        [anchor_pts[None] - t_xyxy[..., 0:2],
+         t_xyxy[..., 2:4] - anchor_pts[None]], axis=-1
+    ) * scale
+    clipped = jnp.any(ltrb > (REG_MAX - 1), axis=-1).astype(jnp.float32)
+    stats["dfl_clip_frac"] = (jnp.sum(clipped * fg)
+                              / jnp.maximum(jnp.sum(fg), 1.0))
+    return stats
+
+
+def make_af_stats_fn(model, cfg, topk=TAL_TOPK, alpha=TAL_ALPHA,
+                     beta=TAL_BETA):
+    """Jitted probe: (params, batch_stats, images, labels, counts) ->
+    dict of TAL diagnostic scalars on a compact batch. `images` may be
+    uint8 (normalized in-fn) and packed per cfg — the same staging the
+    compact trainer uses, so the probe costs one extra forward."""
+    from yolo_from_scratch_tpu.config import INV255
+
+    @jax.jit
+    def stats_fn(params, batch_stats, images, labels, counts):
+        if images.dtype == jnp.uint8:
+            images = images.astype(jnp.float32) * INV255
+        preds = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            images, train=False,
+        )
+        k = labels.shape[1]
+        valid = (jnp.arange(k)[None, :] < counts[:, None]).astype(
+            jnp.float32)
+        cls_ids = jnp.clip(labels[..., 0].astype(jnp.int32), 0,
+                           cfg.num_classes - 1)
+        gt_cls = jax.nn.one_hot(cls_ids, cfg.num_classes) * valid[..., None]
+        return af_assignment_stats(
+            preds, labels[..., 1:5], gt_cls, valid, cfg.num_classes,
+            cfg.img_size, topk=topk, alpha=alpha, beta=beta,
+        )
+
+    return stats_fn

@@ -65,7 +65,13 @@ def _flag() -> str:
 
 def use_fused_bwd(kernel: int, stride: int, cin: int, cout: int,
                   h: int, w: int, dtype=jnp.bfloat16) -> bool:
-    """Should this conv use the fused Pallas backward?"""
+    """Should this conv use the fused Pallas backward?
+
+    PROCESS-START configuration: the flag is consulted at TRACE time and
+    jitted programs are cached by shape/dtype, so set
+    YOLO_FUSED_CONV_BWD before the process's first trace of the model —
+    toggling it later has no effect on already-compiled programs
+    (tests build fresh traces per setting for exactly this reason)."""
     if _flag() == "0":
         return False
     if not (kernel == 3 and stride == 1 and cin == cout == _FUSED_C):

@@ -52,10 +52,21 @@ def init_distributed(coordinator: str | None = None,
     # On the CPU backend cross-process collectives need a real transport
     # (the single-host default has none): select gloo BEFORE the backend
     # initializes, so the CPU client is built multi-process-aware. TPU
-    # backends ignore this knob; only an explicit CPU platform selection
-    # triggers it.
+    # backends ignore this knob. Trigger on an explicit CPU platform
+    # selection OR an unset platform with no accelerator plugin present —
+    # the latter also resolves to CPU, and is exactly the bare-host case
+    # a --distributed CPU run hits (ADVICE r4).
     platforms = (jax.config.jax_platforms or "").lower()
-    if "cpu" in platforms.split(","):
+    cpu_selected = "cpu" in platforms.split(",")
+    if not platforms:
+        try:
+            import importlib.metadata as _md
+
+            cpu_selected = not any(
+                _md.entry_points(group="jax_plugins"))
+        except Exception:
+            cpu_selected = True
+    if cpu_selected:
         jax.config.update("jax_cpu_collectives_implementation", "gloo")
     kwargs = {}
     if coordinator is not None:

@@ -222,6 +222,29 @@ def fit(
             for fn, loader in schedule
         ]
 
+    try:
+        state, save_path = _fit_epochs(
+            start_epoch, epochs, warmup_epochs, initial_lr, min_lr,
+            schedule, state, ema, use_ema, stream, mesh, eval_step,
+            val_loader, det_eval, log, metrics_logger, save_path, cfg,
+            save_opt_state, train_epoch, eval_epoch,
+        )
+    finally:
+        if stream is not None and hasattr(stream, "stop"):
+            # PoolStream's persistent refresher must not keep staging
+            # transfers after the last epoch — nor after a training
+            # failure (the refresher would otherwise run for the rest of
+            # the process lifetime; ADVICE r4)
+            stream.stop()
+    return state, save_path
+
+
+def _fit_epochs(start_epoch, epochs, warmup_epochs, initial_lr, min_lr,
+                schedule, state, ema, use_ema, stream, mesh, eval_step,
+                val_loader, det_eval, log, metrics_logger, save_path, cfg,
+                save_opt_state, train_epoch, eval_epoch):
+    """fit()'s epoch loop, split out so the stream shutdown wraps it in
+    one try/finally."""
     for epoch in range(start_epoch, epochs):
         lr = lr_at_epoch(epoch, warmup_epochs, epochs, initial_lr, min_lr)
         state = set_learning_rate(state, lr)
@@ -300,10 +323,6 @@ def fit(
             extra=extra,
         )
 
-    if stream is not None and hasattr(stream, "stop"):
-        # PoolStream's persistent refresher must not keep staging
-        # transfers after the last epoch
-        stream.stop()
     return state, save_path
 
 

@@ -31,6 +31,34 @@ def get_lr_lambda(
     return lr_lambda
 
 
+def make_step_lr(
+    total_steps, warmup_steps, initial_lr, min_lr, warmup_start_lr=1e-6,
+):
+    """Per-STEP warmup + cosine, jnp-traceable (step may be a tracer).
+
+    The v8-style per-iteration schedule for the anchor-free recipe study
+    (VERDICT r4 #1): the reference steps its LambdaLR per EPOCH
+    (train.py:1543), which quantizes the 3-epoch warmup to 3 LR values —
+    at 64 steps/epoch the first optimizer updates already run at
+    initial_lr/3. This ramps every step instead. Feed to the scanned
+    trainers' `step_lr` hook."""
+    import jax.numpy as jnp
+
+    warmup_steps = max(int(warmup_steps), 1)
+    span = max(int(total_steps) - warmup_steps, 1)
+
+    def lr_fn(step):
+        s = step.astype(jnp.float32)
+        warm = (warmup_start_lr
+                + (initial_lr - warmup_start_lr) * s / warmup_steps)
+        progress = jnp.clip((s - warmup_steps) / span, 0.0, 1.0)
+        cosine = 0.5 * (1.0 + jnp.cos(jnp.pi * progress))
+        main = min_lr + (initial_lr - min_lr) * cosine
+        return jnp.where(s < warmup_steps, warm, main).astype(jnp.float32)
+
+    return lr_fn
+
+
 def lr_at_epoch(
     epoch, warmup_epochs=3, total_epochs=100, initial_lr=1e-2, min_lr=1e-4,
     warmup_start_lr=1e-6,

@@ -70,7 +70,8 @@ def create_train_state(rng, cfg: YoloConfig, learning_rate=1e-2, batch_size=1):
 
 
 def _make_loss_fn(model: YOLO, cfg: YoloConfig, quirk_640: bool,
-                  af_compact: bool = False, sparse: bool = False):
+                  af_compact: bool = False, sparse: bool = False,
+                  af_hp: dict | None = None):
     """Head-family dispatch: anchor-based (reference parity) or the
     anchor-free decoupled head. Returns
     loss_fn(params, batch_stats, images, targets)
@@ -82,8 +83,13 @@ def _make_loss_fn(model: YOLO, cfg: YoloConfig, quirk_640: bool,
 
     `sparse`: anchor head fed by the compact path with the gather-based
     loss (ops/losses_sparse.py) — `targets` is the (labels, valid)
-    tuple; no dense maps are ever materialized."""
+    tuple; no dense maps are ever materialized.
+
+    `af_hp`: optional anchor-free loss hyperparameter overrides
+    (box_weight/cls_weight/dfl_weight/topk/alpha/beta) — the knobs the
+    nc=80 recipe study sweeps (VERDICT r4 #1)."""
     anchors = cfg.anchors_array
+    af_kw = dict(af_hp or {})
 
     if cfg.head_type == "anchor_free":
         from yolo_from_scratch_tpu.models.anchor_free import (
@@ -100,11 +106,11 @@ def _make_loss_fn(model: YOLO, cfg: YoloConfig, quirk_640: bool,
                 gt_boxes, gt_cls, gt_valid = targets
                 total, bbox, cls = yolo_loss_anchor_free_from_gt(
                     preds, gt_boxes, gt_cls, gt_valid, cfg.num_classes,
-                    cfg.img_size,
+                    cfg.img_size, **af_kw,
                 )
             else:
                 total, bbox, cls = yolo_loss_anchor_free(
-                    preds, targets, cfg.num_classes, cfg.img_size
+                    preds, targets, cfg.num_classes, cfg.img_size, **af_kw
                 )
             zero = jnp.zeros((), total.dtype)
             return total, (mutated["batch_stats"], bbox, zero, cls)
@@ -344,7 +350,10 @@ def make_train_step_multi_compact(model: YOLO, tx, cfg: YoloConfig,
                                   device_augment: bool = False,
                                   augment_seed: int = 0,
                                   device_mosaic: bool = False,
-                                  sparse_loss: bool = False):
+                                  sparse_loss: bool = False,
+                                  af_hp: dict | None = None,
+                                  step_lr=None,
+                                  ema_decay: float | None = None):
     """Scanned multi-step trainer fed by COMPACT labels: the dense target
     maps are rebuilt on-device inside the scan body
     (data/assign_device.py) instead of being staged in HBM.
@@ -368,11 +377,18 @@ def make_train_step_multi_compact(model: YOLO, tx, cfg: YoloConfig,
     anchor-free path); the anchor-free head feeds the compact labels to
     TAL DIRECTLY (yolo_loss_anchor_free_from_gt) — its natural input is
     a GT list, so this path has no dense targets anywhere.
+
+    Recipe-study knobs (VERDICT r4 #1): `af_hp` overrides the AF loss
+    hyperparameters; `step_lr` (step:int32 -> f32) sets a PER-STEP LR
+    inside the scan body (v8-style per-iteration warmup, vs the
+    reference's per-epoch LambdaLR); `ema_decay` carries an EMA of
+    params+batch_stats through the scan — the signature then becomes
+    ((state, ema), images, labels, counts) -> ((state, ema), metrics).
     """
     af_compact = cfg.head_type == "anchor_free"
     sparse_loss = sparse_loss and not af_compact
     loss_fn = _make_loss_fn(model, cfg, quirk_640, af_compact=af_compact,
-                            sparse=sparse_loss)
+                            sparse=sparse_loss, af_hp=af_hp)
     aug = (None if af_compact or sparse_loss
            else _make_augment(cfg, device_augment, augment_seed))
     expand = _make_expand(cfg, compact_targets=True, mosaic=device_mosaic,
@@ -381,6 +397,10 @@ def make_train_step_multi_compact(model: YOLO, tx, cfg: YoloConfig,
                           sparse=sparse_loss)
 
     def one_step(state, images, labels, counts):
+        if step_lr is not None:
+            opt_state = state.opt_state
+            opt_state.hyperparams["learning_rate"] = step_lr(state.step)
+            state = state.replace(opt_state=opt_state)
         images, targets = expand(state.step, images, (labels, counts))
         if aug is not None:
             images, targets = aug(state.step, images, targets)
@@ -393,6 +413,28 @@ def make_train_step_multi_compact(model: YOLO, tx, cfg: YoloConfig,
             TrainState(new_params, new_bs, new_opt_state, state.step + 1),
             {"loss": total, "bbox": bbox, "obj": obj, "cls": cls},
         )
+
+    if ema_decay is not None:
+        from yolo_from_scratch_tpu.train.ema import ema_update
+
+        def train_steps_ema(state_and_ema, images, labels, counts):
+            def body(carry, batch):
+                state, ema = carry
+                state, metrics = one_step(state, *batch)
+                ema = ema_update(
+                    ema,
+                    {"params": state.params,
+                     "batch_stats": state.batch_stats},
+                    state.step, decay=ema_decay,
+                )
+                return (state, ema), metrics
+
+            carry, metrics = jax.lax.scan(
+                body, state_and_ema, (images, labels, counts))
+            return carry, jax.tree.map(jnp.mean, metrics)
+
+        donate_argnums = (0,) if donate else ()
+        return jax.jit(train_steps_ema, donate_argnums=donate_argnums)
 
     def train_steps(state, images, labels, counts):
         def body(state, batch):
@@ -410,7 +452,8 @@ def make_train_step_multi_pool(model: YOLO, tx, cfg: YoloConfig,
                                device_augment: bool = False,
                                augment_seed: int = 0,
                                device_mosaic: bool = False,
-                               sparse_loss: bool = False):
+                               sparse_loss: bool = False,
+                               af_hp: dict | None = None):
     """Scanned multi-step trainer sampling from a DEVICE-RESIDENT pool
     (data/stream.PoolStream): each scan step gathers its batch from the
     staged pool by index, so the host->device link carries only fresh
@@ -428,7 +471,7 @@ def make_train_step_multi_pool(model: YOLO, tx, cfg: YoloConfig,
     af_compact = cfg.head_type == "anchor_free"
     sparse_loss = sparse_loss and not af_compact
     loss_fn = _make_loss_fn(model, cfg, quirk_640, af_compact=af_compact,
-                            sparse=sparse_loss)
+                            sparse=sparse_loss, af_hp=af_hp)
     aug = (None if af_compact or sparse_loss
            else _make_augment(cfg, device_augment, augment_seed))
     expand = _make_expand(cfg, compact_targets=True, mosaic=device_mosaic,
