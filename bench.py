@@ -220,9 +220,18 @@ def bench_batch_infer(cfg, batch=32, n_dispatch=10):
     return batch * n_dispatch / dt
 
 
-def bench_infer(cfg):
+def bench_infer(cfg, pipeline_depth=4, pipeline_n=40):
     """Device-side inference latency: forward + decode + NMS (excludes host
-    letterbox; the reference's 94.4ms includes ~a few ms of PIL)."""
+    letterbox; the reference's 94.4ms includes ~a few ms of PIL).
+
+    Returns (p50_seconds, pipelined_img_s): the synchronous per-request
+    p50 AND the sustained single-image rate with `pipeline_depth`
+    requests in flight — the PipelinedPredictor client pattern
+    (infer/predict.py) measured on the same compiled program, so the
+    driver captures both serving numbers in one compile (VERDICT r4 #6).
+    Through a high-RTT link the pipelined rate is the defensible
+    sustained figure; whatever the link does that day is what gets
+    recorded."""
     model = YOLO(cfg)
     variables = _init_on_host(
         model.init, jax.random.PRNGKey(0),
@@ -245,7 +254,24 @@ def bench_infer(cfg):
         out = post(variables, img, 1.0, 0.0, 0.0)
         float(out[1][0])  # score readback forces the full pipeline
         times.append(time.perf_counter() - t0)
-    return statistics.median(times)
+    p50 = statistics.median(times)
+
+    # pipelined client: keep `depth` async dispatches in flight, read
+    # back the oldest as each new one is queued (PipelinedPredictor
+    # semantics: per-request latency unchanged, sustained rate decoupled
+    # from the round trip)
+    from collections import deque
+
+    inflight = deque()
+    t0 = time.perf_counter()
+    for _ in range(pipeline_n):
+        inflight.append(post(variables, img, 1.0, 0.0, 0.0))
+        while len(inflight) > pipeline_depth:
+            float(inflight.popleft()[1][0])
+    while inflight:
+        float(inflight.popleft()[1][0])
+    pipelined_ips = pipeline_n / (time.perf_counter() - t0)
+    return p50, pipelined_ips
 
 
 def _probe_backend(timeout_s=240):
@@ -401,12 +427,17 @@ def main():
         log("skipping single-image infer bench (elapsed budget)")
         return
     try:
-        infer_p50 = bench_infer(cfg.with_(packed_stem=packed,
-                                          packed_interior=packed,
-                                          packed_p3=packed))
+        infer_p50, pipelined_ips = bench_infer(
+            cfg.with_(packed_stem=packed, packed_interior=packed,
+                      packed_p3=packed))
         log(f"infer p50 (device fwd+decode+NMS): {infer_p50 * 1000:.2f} ms "
             f"({1 / infer_p50:.1f} img/s)")
+        log(f"pipelined single-image sustained (depth 4, "
+            f"PipelinedPredictor pattern): {pipelined_ips:.1f} img/s "
+            f"({pipelined_ips / 10.6:.1f}x reference predict)")
         extra["infer_single_image_p50_ms"] = round(infer_p50 * 1000, 2)
+        extra["infer_pipelined_sustained_images_per_sec"] = round(
+            pipelined_ips, 1)
         save_extra()
     except Exception as e:  # secondary metric must not kill the benchmark
         log(f"infer bench failed: {e}")

@@ -473,9 +473,18 @@ def yolo_loss_anchor_free_from_gt(predictions, gt_boxes, gt_cls, gt_valid,
         _flatten_af_preds(predictions, num_classes, img_size)
     )
 
-    asn = tal_assign(jax.nn.sigmoid(cls_logits), boxes_xyxy, anchor_pts,
-                     gt_boxes, gt_cls, gt_valid, topk=topk, alpha=alpha,
-                     beta=beta)
+    # v8 semantics: the assigner runs DETACHED (ultralytics computes TAL
+    # under no_grad on detached scores/boxes). Round-4 code let gradients
+    # flow through the whole (B, M, A) assignment graph — the BCE target
+    # side then leaks a -logit gradient term into the cls branch (targets
+    # chase scores AND scores chase targets), and the backward pays for
+    # the assignment einsums/IoU matrix. Both wrong vs the claimed
+    # recipe; r5 A/B on the nc=80 regime: detach is also what lets the
+    # anti-overfit levers behave as in v8.
+    asn = tal_assign(
+        jax.lax.stop_gradient(jax.nn.sigmoid(cls_logits)),
+        jax.lax.stop_gradient(boxes_xyxy), anchor_pts,
+        gt_boxes, gt_cls, gt_valid, topk=topk, alpha=alpha, beta=beta)
     fg = asn["fg"]
     target_scores = asn["target_scores"]
     score_sum = jnp.maximum(jnp.sum(target_scores), 1.0)

@@ -36,13 +36,20 @@ class TrainState(struct.PyTreeNode):
     step: jnp.ndarray
 
 
-def make_optimizer(learning_rate: float = 1e-2):
-    """clip-by-global-norm(10) -> Adam, with injectable learning rate."""
+def make_optimizer(learning_rate: float = 1e-2, weight_decay: float = 0.0):
+    """clip-by-global-norm(10) -> Adam, with injectable learning rate.
+
+    `weight_decay` > 0 switches to AdamW (decoupled decay) — not in the
+    reference (plain Adam, train.py:1506); exposed for the anchor-free
+    nc=80 recipe study, where the decoupled cls branch memorizes the
+    512-image train set (VERDICT r4 #1: val cls-acc 16.6% vs train
+    100%)."""
 
     def tx_fn(learning_rate):
         return optax.chain(
             optax.clip_by_global_norm(GRAD_CLIP_NORM),
-            optax.adam(learning_rate),
+            (optax.adamw(learning_rate, weight_decay=weight_decay)
+             if weight_decay else optax.adam(learning_rate)),
         )
 
     return optax.inject_hyperparams(tx_fn)(learning_rate=learning_rate)
@@ -55,11 +62,12 @@ def set_learning_rate(state: TrainState, lr: float) -> TrainState:
     return state.replace(opt_state=opt_state)
 
 
-def create_train_state(rng, cfg: YoloConfig, learning_rate=1e-2, batch_size=1):
+def create_train_state(rng, cfg: YoloConfig, learning_rate=1e-2, batch_size=1,
+                       weight_decay: float = 0.0):
     model = YOLO(cfg)
     dummy = jnp.zeros((batch_size, cfg.img_size, cfg.img_size, 3), jnp.float32)
     variables = model.init(rng, dummy, train=False)
-    tx = make_optimizer(learning_rate)
+    tx = make_optimizer(learning_rate, weight_decay)
     state = TrainState(
         params=variables["params"],
         batch_stats=variables["batch_stats"],
