@@ -54,6 +54,8 @@ def _recipe_tag(spec):
     """Filename tag for the recipe-study knobs so A/B runs of the same
     regime keep distinct checkpoints/ips records."""
     parts = []
+    if spec.get("ingest_cap"):
+        parts.append(f"cap{spec['ingest_cap']}")
     if spec.get("mosaic"):
         parts.append("mosaic")
     if spec.get("step_lr"):
@@ -137,7 +139,8 @@ def run(spec, lr=5e-3, batch=8, stage="all", augment=False, mosaic=False,
 
         cache = ensure_cache(ds, capacity=capacity, packed=cfg.packed_stem)
         stream = PoolStream(cache, pool_size=pool, batch_size=batch,
-                            steps_per_chunk=16, seed=0)
+                            steps_per_chunk=16, seed=0,
+                            max_ingest_img_s=spec.get("ingest_cap"))
         print(f"{spec['name']}: pool mode — {len(cache)} cached images, "
               f"{pool}-slot HBM pool, {stream.steps_per_epoch} "
               f"steps/epoch", flush=True)
@@ -331,6 +334,8 @@ def _eval(spec, cfg, variables, root, train_ips):
         result["pool"] = spec["pool"]
         result["ingest_img_s"] = spec.get("_ingest_img_s")
         result["echo_factor"] = spec.get("_echo_factor")
+        if spec.get("ingest_cap"):
+            result["ingest_cap"] = spec["ingest_cap"]
     if spec.get("_lr") not in (None, 5e-3):
         result["lr"] = spec["_lr"]
     if spec.get("step_lr"):
@@ -401,6 +406,12 @@ if __name__ == "__main__":
             # host's link rate instead of pre-staged batches — same step
             # count, same dataset; records ingest rate + echo factor
             pool_n = int(args[i + 1])
+            i += 1
+        elif a == "--ingest-cap":
+            # cap the PoolStream refresher at R img/s — FORCES the echo
+            # regime instead of taking whatever the link gives (the 8x-
+            # echo accuracy A/B, VERDICT r4 #3)
+            overrides["ingest_cap"] = float(args[i + 1])
             i += 1
         elif a == "--lr":
             lr_cli = float(args[i + 1])

@@ -230,6 +230,35 @@ class TestPoolStream:
             imgs[2], cache.images[1])  # slab 2: rows 1,2 -> slots 2,3
         np.testing.assert_array_equal(imgs[3], cache.images[2])
 
+    def test_ingest_cap_limits_refresher_rate(self, cached):
+        """max_ingest_img_s paces the refresher thread: with a 2-image
+        slab and a 4 img/s cap, the second slab must not be staged before
+        ~0.5 s — the knob that forces a chosen echo regime for the 8x-
+        echo accuracy A/B (the uncapped refresher on this host stages
+        slabs back-to-back)."""
+        import time
+
+        _, cache = cached
+        pool = PoolStream(cache, pool_size=4, batch_size=1,
+                          steps_per_chunk=2, refresh_slab=2, seed=0,
+                          max_ingest_img_s=4.0)
+        t0 = time.perf_counter()
+        pool._ensure_refresher()
+        try:
+            slabs, stamps = [], []
+            while len(slabs) < 3 and time.perf_counter() - t0 < 10.0:
+                try:
+                    slabs.append(pool._slab_q.get(timeout=0.2))
+                    stamps.append(time.perf_counter() - t0)
+                except Exception:
+                    continue
+            assert len(slabs) == 3, f"refresher staged {len(slabs)} slabs"
+            # slab k is due at k*slab/cap = k*0.5 s (first at 0)
+            assert stamps[1] >= 0.45, stamps
+            assert stamps[2] >= 0.95, stamps
+        finally:
+            pool.stop()
+
     def test_run_epoch_trains(self, cached, cfg):
         from yolo_from_scratch_tpu.train.steps import (
             create_train_state,

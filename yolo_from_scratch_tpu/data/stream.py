@@ -159,7 +159,13 @@ class PoolStream:
 
     def __init__(self, cache, pool_size=1024, batch_size=8,
                  steps_per_chunk=16, seed=0, refresh_slab=128,
-                 placement=None):
+                 placement=None, max_ingest_img_s=None):
+        """`max_ingest_img_s`: optional ceiling on the refresher's ingest
+        rate (images/second). The echo factor (trained rate / ingest
+        rate) is otherwise set by whatever the link sustains that day;
+        capping ingest FORCES a chosen echo regime — the knob the 8x-echo
+        accuracy A/B needs on a host whose tunnel binds the trainer to
+        ingest (VERDICT r4 #3; BASELINE.md echo caveat)."""
         if pool_size > len(cache):
             pool_size = len(cache)
         # slab must divide the pool so slot writes never wrap
@@ -170,6 +176,7 @@ class PoolStream:
         self.batch_size = batch_size
         self.steps_per_chunk = steps_per_chunk
         self.refresh_slab = refresh_slab
+        self.max_ingest_img_s = max_ingest_img_s
         self.placement = placement or jax.local_devices()[0]
         self._rng = np.random.default_rng(seed)
         self._cursor = pool_size  # next cache row to ingest
@@ -252,8 +259,20 @@ class PoolStream:
             self._thread = None
 
         def refresher():
+            t_start = time.perf_counter()
+            staged_imgs = 0
             while not self._stop.is_set():
+                if self.max_ingest_img_s:
+                    # rate limit: don't stage slab k until the capped
+                    # schedule says its images are due
+                    due = staged_imgs / self.max_ingest_img_s
+                    while (not self._stop.is_set()
+                           and time.perf_counter() - t_start < due):
+                        self._stop.wait(0.1)
+                    if self._stop.is_set():
+                        return
                 staged = self._stage_slab()
+                staged_imgs += self.refresh_slab
                 # block until the consumer drains — bounded so shutdown
                 # can't deadlock on a full queue
                 while not self._stop.is_set():

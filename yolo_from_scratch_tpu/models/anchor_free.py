@@ -46,11 +46,20 @@ TAL_BETA = 6.0
 
 class DecoupledHead(nn.Module):
     """Box (DFL distribution) + class branches
-    -> (B, H, W, 4 * REG_MAX + nc)."""
+    -> (B, H, W, 4 * REG_MAX + nc).
+
+    `cls_prior`: initial sigmoid(cls) probability. v8 initializes the
+    cls bias per scale to log(5/nc/(img/stride)^2) — i.e. "expect ~5
+    objects of any class per image at this scale" — which at nc=80
+    means sigma ~1e-5, not the 0.01 flat prior round 2 used; the flat
+    prior costs the first epochs a large all-negatives BCE transient
+    (8400*nc logits at sigma=0.01 vs the handful of true positives).
+    YOLO passes the v8 value per scale."""
 
     channels: int
     num_classes: int
     dtype: jnp.dtype = jnp.float32
+    cls_prior: float = 0.01
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -73,10 +82,14 @@ class DecoupledHead(nn.Module):
         cls = ConvBNSiLU(self.channels, 3, dtype=self.dtype, name="cls_conv2")(
             cls, train
         )
+        import functools
+
         cls = nn.Conv(
             self.num_classes, (1, 1), use_bias=True, dtype=self.dtype,
             param_dtype=jnp.float32, kernel_init=torch_kernel_init,
-            bias_init=_cls_prior_bias, name="cls_pred",
+            bias_init=functools.partial(_cls_prior_bias,
+                                        prior=self.cls_prior),
+            name="cls_pred",
         )(cls)
         return jnp.concatenate([box, cls], axis=-1)
 
@@ -87,6 +100,14 @@ def _cls_prior_bias(key, shape, dtype=jnp.float32, prior=0.01):
     import math
 
     return jnp.full(shape, -math.log((1 - prior) / prior), dtype)
+
+
+def v8_cls_prior(num_classes: int, img_size: int, stride: int) -> float:
+    """The v8 per-scale cls bias prior: ~5 objects/image spread over the
+    scale's (img/stride)^2 cells and nc classes (ultralytics
+    Detect.bias_init: b[:nc] = log(5 / nc / (640/s)^2))."""
+    p = 5.0 / num_classes / (img_size / stride) ** 2
+    return float(min(max(p, 1e-8), 0.5))
 
 
 def dfl_expectation(dist_logits):

@@ -230,15 +230,23 @@ class YOLO(nn.Module):
         # ===== Heads (reference: train.py:452-466, 600-632) =====
         na, nc = cfg.num_anchors, cfg.num_classes
         if cfg.head_type == "anchor_free":
-            from yolo_from_scratch_tpu.models.anchor_free import DecoupledHead
+            from yolo_from_scratch_tpu.models.anchor_free import (
+                DecoupledHead,
+                v8_cls_prior,
+            )
 
-            out_p3 = DecoupledHead(cfg.c_p3, nc, dtype=dt, name="head_p3")(
+            # per-scale v8 bias prior (see DecoupledHead.cls_prior)
+            pr = lambda s: v8_cls_prior(nc, cfg.img_size, s)
+            out_p3 = DecoupledHead(cfg.c_p3, nc, dtype=dt,
+                                   cls_prior=pr(8), name="head_p3")(
                 p3_head_in, train
             )
-            out_p4 = DecoupledHead(cfg.c_p4, nc, dtype=dt, name="head_p4")(
+            out_p4 = DecoupledHead(cfg.c_p4, nc, dtype=dt,
+                                   cls_prior=pr(16), name="head_p4")(
                 p4_panet, train
             )
-            out_p5 = DecoupledHead(cfg.c_p5, nc, dtype=dt, name="head_p5")(
+            out_p5 = DecoupledHead(cfg.c_p5, nc, dtype=dt,
+                                   cls_prior=pr(32), name="head_p5")(
                 p5_panet, train
             )
         else:
