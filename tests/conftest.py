@@ -46,6 +46,26 @@ TEST_BATCH = 2
 # (parametrized cases inherit the base id's marker).
 # ---------------------------------------------------------------------------
 SLOW_TESTS = {
+    # round-5 re-measure (quick tier had crept 10 -> 16+ min; VERDICT r4
+    # #7): every case >=15s call time moves to the slow tier
+    "tests/test_multistep.py::test_multi_step_uint8_staging_matches_f32",
+    "tests/test_size_variants.py::test_tp_train_step_matches_single_device_at_l_width",
+    "tests/test_size_variants.py::test_tp_sharded_fraction_rises_with_width",
+    "tests/test_packed_p3.py::test_gradients_match",
+    "tests/test_resume.py::test_resume_restores_params_opt_state_epoch",
+    "tests/test_training.py::test_loss_decreases_over_steps",
+    "tests/test_sparse_loss.py::test_sparse_gradients_match_dense",
+    "tests/test_sparse_loss.py::test_sparse_matches_dense",
+    "tests/test_quantize.py::test_quant_packed_p3_matches_unpacked_int8",
+    "tests/test_quantize.py::test_quant_anchor_free_head",
+    "tests/test_quantize.py::test_quant_forward_close_at_probability_level",
+    "tests/test_model.py::test_param_count_s_variant_band",
+    "tests/test_model.py::test_forward_other_resolutions",
+    "tests/test_map.py::test_evaluate_map_batched_matches_single",
+    "tests/test_inference.py::test_uint8_ingress_matches_f32",
+    "tests/test_inference.py::test_predict_conf_threshold_monotone",
+    "tests/test_configs.py::test_config3_coco80_head_and_predict",
+    "tests/test_configs.py::test_config2_416_multiclass_shapes",
     "tests/test_anchor_free.py::test_af_compact_train_step_runs",
     "tests/test_anchor_free.py::test_loss_finite_and_grads",
     "tests/test_anchor_free.py::test_train_step_anchor_free",

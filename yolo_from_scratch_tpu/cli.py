@@ -189,6 +189,14 @@ def build_parser():
                              "mosaic stays host-side). Bare/'full' = "
                              "hflip + color jitter; 'flip' = hflip only "
                              "(use when class identity is color-coded)")
+    parser.add_argument("--weight-decay", type=float, default=0.0,
+                        metavar="W",
+                        help="AdamW decoupled weight decay (default 0 = "
+                             "plain Adam, the reference optimizer). The "
+                             "anchor-free nc=80 recipe study found wd "
+                             "0.05 is the decisive anti-overfit lever "
+                             "on small datasets (15 -> 99 mAP50 on the "
+                             "discriminating benchmark; see BASELINE.md)")
     parser.add_argument("--ema", action="store_true",
                         help="Maintain an EMA of the weights; eval and "
                              "checkpoints use the averaged params")
@@ -594,7 +602,7 @@ def main(argv=None):
                 from yolo_from_scratch_tpu.train.loop import restore_train_state
                 from yolo_from_scratch_tpu.train.steps import make_optimizer
 
-                tx = make_optimizer(args.lr)
+                tx = make_optimizer(args.lr, args.weight_decay)
                 state, cfg_ckpt, start_epoch, resume_ema = restore_train_state(
                     args.resume, tx
                 )
@@ -632,7 +640,8 @@ def main(argv=None):
                     packed_p3=args.packed_p3,
                 )
                 model, tx, state = create_train_state(
-                    jax.random.PRNGKey(args.seed), cfg, args.lr
+                    jax.random.PRNGKey(args.seed), cfg, args.lr,
+                    weight_decay=args.weight_decay,
                 )
 
             anchors = cfg.anchors_array
