@@ -38,6 +38,7 @@ from yolo_from_scratch_tpu.train.steps import (
 
 REFERENCE_CPU_TRAIN_IMG_S = 2.437  # BASELINE.md, measured in this container
 BATCH = int(os.environ.get("BENCH_BATCH", 8))  # 8 = the reference workload
+SIZE = os.environ.get("BENCH_SIZE", "s")  # n/s/m/l/x variant (default 's')
 IMG = 640
 TRAIN_STEPS = 100  # measured steps; dispatch count = max(100//chunk, 2)
                    # (chunk defaults to 50 on an accelerator, 10 on CPU)
@@ -363,7 +364,10 @@ def main():
     dtype = auto["compute_dtype"]
     packed = (os.environ.get("BENCH_PACKED", "1") != "0"
               and auto["packed_p3"])
-    cfg = YoloConfig(num_classes=1, img_size=IMG, compute_dtype=dtype)
+    cfg = YoloConfig.from_size(SIZE, num_classes=1, img_size=IMG,
+                               compute_dtype=dtype)
+    if SIZE != "s":
+        log(f"model size: {SIZE} (BENCH_SIZE)")
     train_ips = bench_train(cfg.with_(packed_stem=packed,
                                       packed_interior=packed,
                                       packed_p3=packed))
@@ -380,12 +384,15 @@ def main():
         "vs_baseline": round(train_ips / REFERENCE_CPU_TRAIN_IMG_S, 2),
     }
     print(json.dumps(headline), flush=True)
-    if jax.devices()[0].platform != "cpu":
+    if jax.devices()[0].platform != "cpu" and SIZE == "s":
+        # only the headline configuration updates the last-good record —
+        # a BENCH_SIZE experiment must not clobber the outage fallback
         # record the methodology alongside the value so cross-round
         # comparisons can tell a perf change from a setup change
         _save_lastgood({**headline, "methodology": {
             "batch": BATCH, "chunk": _bench_chunk(), "staging": "uint8",
             "packed": "p3" if packed else "none", "dtype": dtype,
+            "size": SIZE,
         }})
 
     extra = {

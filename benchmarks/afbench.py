@@ -157,6 +157,14 @@ def bench_loss_parts(cfg, batch, iters, rng):
     t_tal = time_per_iter(tal_only, (scores, boxes_xy), n1, n2)
     log(f"  tal_assign fwd alone:           {t_tal * 1e3:7.2f} ms")
 
+    def tal_iter(carry):
+        s, bx = carry
+        asn = tal_assign(s, bx, pts, *gt, topk_impl="iter")
+        return _dep(s, asn), _dep(bx, asn)
+
+    t_tal_i = time_per_iter(tal_iter, (scores, boxes_xy), n1, n2)
+    log(f"  tal_assign (iter top-k):        {t_tal_i * 1e3:7.2f} ms")
+
     tgt_ltrb = jnp.abs(jnp.asarray(
         rng.standard_normal((batch, dist.shape[1], 4)), jnp.float32)) * 4
 
@@ -231,6 +239,75 @@ def bench_full_steps(cfg_af, cfg_anchor, batch, iters, rng):
     return out
 
 
+def bench_scanned(cfg_af, cfg_anchor, batch, rng, n_steps=16,
+                  device_augment=True):
+    """The REAL scanned trainers configs.py runs (uint8 staging, in-scan
+    expand + label-level augment), timed per step from a two-length
+    dispatch difference — catches costs the isolated full_step misses."""
+    import time as _time
+
+    from yolo_from_scratch_tpu.train.steps import (
+        create_train_state,
+        make_train_step_multi_compact,
+        set_learning_rate,
+    )
+    from yolo_from_scratch_tpu.utils.timing import hard_sync
+
+    out = {}
+    for name, cfg, sparse in (("anchor(sparse)", cfg_anchor, True),
+                              ("anchor_free", cfg_af, False)):
+        with jax.default_device(jax.local_devices(backend="cpu")[0]):
+            model, tx, state = create_train_state(
+                jax.random.PRNGKey(0), cfg, 1e-3, batch_size=1)
+        state = jax.device_put(state, jax.devices()[0])
+        state = set_learning_rate(state, 1e-3)
+        steps = make_train_step_multi_compact(
+            model, tx, cfg, device_augment=device_augment,
+            sparse_loss=sparse)
+        k = 16
+        imgs = (rng.random((n_steps, batch, cfg.img_size, cfg.img_size, 3))
+                * 255).astype(np.uint8)
+        if cfg.packed_stem:
+            from yolo_from_scratch_tpu.models.packed import pack_s2d_host
+
+            imgs = np.stack([pack_s2d_host(s) for s in imgs])
+        labels = np.zeros((n_steps, batch, k, 5), np.float32)
+        labels[..., :6, 0] = rng.integers(0, cfg.num_classes,
+                                          (n_steps, batch, 6))
+        labels[..., :6, 1:] = rng.uniform(0.2, 0.4, (n_steps, batch, 6, 4))
+        counts = np.full((n_steps, batch), 6, np.int32)
+        args_short = tuple(jnp.asarray(x[:4]) for x in
+                           (imgs, labels, counts))
+        args_full = tuple(jnp.asarray(x) for x in (imgs, labels, counts))
+
+        # warm both lengths, then slope
+        steps2 = make_train_step_multi_compact(
+            model, tx, cfg, device_augment=device_augment,
+            sparse_loss=sparse, donate=False)
+        for _ in range(2):
+            _, m = steps2(state, *args_short)
+        hard_sync(m["loss"])
+        for _ in range(2):
+            _, m = steps2(state, *args_full)
+        hard_sync(m["loss"])
+
+        def timed(args, reps=3):
+            best = float("inf")
+            for _ in range(reps):
+                t0 = _time.perf_counter()
+                _, m = steps2(state, *args)
+                hard_sync(m["loss"])
+                best = min(best, _time.perf_counter() - t0)
+            return best
+
+        t_short, t_full = timed(args_short), timed(args_full)
+        per_step = (t_full - t_short) / (n_steps - 4)
+        out[name] = per_step
+        log(f"scanned step {name:14s}: {per_step * 1e3:7.2f} ms  "
+            f"({batch / per_step:6.0f} img/s)  [expand+augment in-scan]")
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=8)
@@ -248,9 +325,15 @@ def main():
     cfg_af = YoloConfig(head_type="anchor_free", **common)
     cfg_anchor = YoloConfig(head_type="anchor", **common)
 
+    import os
+
+    if os.environ.get("AFBENCH_SCANNED_ONLY"):
+        bench_scanned(cfg_af, cfg_anchor, a.batch, rng)
+        return
     bench_forwards(cfg_af, cfg_anchor, a.batch, a.iters, rng)
     bench_loss_parts(cfg_af, a.batch, a.iters, rng)
     bench_full_steps(cfg_af, cfg_anchor, a.batch, a.iters, rng)
+    bench_scanned(cfg_af, cfg_anchor, a.batch, rng)
 
 
 if __name__ == "__main__":

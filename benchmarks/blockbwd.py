@@ -55,9 +55,9 @@ def _conv(x, w):
 
 
 def chain_fwd(x, w1, w2, s1, s2):
-    z1 = _conv(x, w1) * s1
+    z1 = _conv(x, w1) * s1.astype(x.dtype)
     a1 = jax.nn.silu(z1)
-    return z1, a1, x + _conv(a1, w2) * s2
+    return z1, a1, x + _conv(a1, w2) * s2.astype(x.dtype)
 
 
 def _silu_grad(z):

@@ -281,7 +281,9 @@ def run(spec, lr=5e-3, batch=8, stage="all", augment=False, mosaic=False,
     n_epoch_imgs = stream.images_per_epoch if pool else n_scan * batch
     train_ips = n_epoch_imgs / med
     if pool:
-        ingest = float(np.median(ingest_rates[len(ingest_rates) // 2:]))
+        # run-total accounting: the per-epoch median reads 0 whenever a
+        # capped slab interval spans several (fast) epochs
+        ingest = stream.total_ingested / max(sum(times), 1e-9)
         spec["_ingest_img_s"] = round(ingest, 1)
         # ingest < 1 img/s means the pool covered the whole (tiny) set —
         # an echo ratio is meaningless there

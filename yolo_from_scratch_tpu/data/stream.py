@@ -182,6 +182,8 @@ class PoolStream:
         self._cursor = pool_size  # next cache row to ingest
         self._slot = 0  # next pool slot to overwrite
         self._epoch_ingested = 0
+        self.total_ingested = 0  # run-total (per-epoch medians misread
+        # slow-ingest regimes where a slab interval spans whole epochs)
         self._writer = self._make_writer()
         self._init_pool()
         # PERSISTENT refresher: staging one slab through a slow link can
@@ -233,6 +235,7 @@ class PoolStream:
     def _apply_slab(self, staged, slot):
         self.pool = self._writer(*self.pool, *staged, start=slot)
         self._epoch_ingested += self.refresh_slab
+        self.total_ingested += self.refresh_slab
 
     # -- training ---------------------------------------------------------
 

@@ -294,9 +294,29 @@ def _pairwise_iou_xyxy(gt, pred):
     return inter / (a_gt + a_pr - inter + 1e-9)
 
 
+def _kth_threshold(align, topk, impl="sort"):
+    """The k-th-largest align value per (B, M) row — the TAL candidate
+    threshold.
+
+    impl='sort': lax.top_k (sorts all A columns — exact under ties).
+    impl='iter': k passes of max+mask — O(k*A) vector work instead of a
+    sort over A=8400; returns the k-th largest DISTINCT value, which
+    differs from 'sort' only when the k-th value is exactly tied
+    (measure-zero for the float products align is made of; both impls
+    then select via `align >= kth`, so near-ties select identically)."""
+    if impl == "iter":
+        x = align
+        kth = jnp.max(x, axis=-1, keepdims=True)
+        for _ in range(topk - 1):
+            x = jnp.where(x >= kth, -jnp.inf, x)
+            kth = jnp.max(x, axis=-1, keepdims=True)
+        return kth
+    return jax.lax.top_k(align, topk)[0][..., -1:]
+
+
 def tal_assign(pred_scores, pred_xyxy, anchor_pts, gt_boxes, gt_cls,
                gt_valid, topk=TAL_TOPK, alpha=TAL_ALPHA, beta=TAL_BETA,
-               with_stats=False):
+               with_stats=False, topk_impl="sort"):
     """Task-aligned assignment (dense, static shapes).
 
     Args:
@@ -337,7 +357,7 @@ def tal_assign(pred_scores, pred_xyxy, anchor_pts, gt_boxes, gt_cls,
     )
 
     # top-k candidates per GT: threshold at the k-th largest align value
-    kth = jax.lax.top_k(align, topk)[0][..., -1:]    # (B, M, 1)
+    kth = _kth_threshold(align, topk, topk_impl)     # (B, M, 1)
     cand = (align >= kth) & (align > 0)              # (B, M, A) bool
 
     # conflict resolution: an anchor claimed by several GTs goes to the
