@@ -94,8 +94,15 @@ def run(spec, lr=5e-3, batch=8, stage="all", augment=False, mosaic=False,
         # the train stage persisted its throughput so the recorded result
         # row is a self-contained measurement (train + eval of one run)
         ips_file = Path(root) / f"train_ips{tag}.json"
-        train_ips = (json.loads(ips_file.read_text())["train_img_s"]
-                     if ips_file.exists() else None)
+        train_ips = None
+        if ips_file.exists():
+            rec = json.loads(ips_file.read_text())
+            train_ips = rec["train_img_s"]
+            # pool-mode telemetry persists across the stage split so the
+            # recorded result row is self-contained
+            if rec.get("ingest_img_s") is not None:
+                spec["_ingest_img_s"] = rec["ingest_img_s"]
+                spec["_echo_factor"] = rec.get("echo_factor")
         return _eval(spec, cfg, variables, root, train_ips=train_ips)
     yaml_path = Path(root) / "data.yaml"
     if not yaml_path.exists():  # reuse across train/eval stages and retries
@@ -303,8 +310,12 @@ def run(spec, lr=5e-3, batch=8, stage="all", augment=False, mosaic=False,
                      "batch_stats": jax.device_get(state.batch_stats)}
     save_checkpoint(ckpt, variables, cfg, epoch=spec["epochs"] - 1)
     print(f"train_img_s: {train_ips:.1f} (ckpt -> {ckpt})", flush=True)
+    ips_record = {"train_img_s": round(train_ips, 1)}
+    if pool:
+        ips_record["ingest_img_s"] = spec.get("_ingest_img_s")
+        ips_record["echo_factor"] = spec.get("_echo_factor")
     (Path(root) / f"train_ips{tag}.json").write_text(
-        json.dumps({"train_img_s": round(train_ips, 1)}))
+        json.dumps(ips_record))
     if stage == "train":
         return {"train_img_s": round(train_ips, 1)}
     return _eval(spec, cfg, variables, root, train_ips)

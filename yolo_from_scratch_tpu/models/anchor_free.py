@@ -294,16 +294,19 @@ def _pairwise_iou_xyxy(gt, pred):
     return inter / (a_gt + a_pr - inter + 1e-9)
 
 
-def _kth_threshold(align, topk, impl="sort"):
+def _kth_threshold(align, topk, impl="iter"):
     """The k-th-largest align value per (B, M) row — the TAL candidate
     threshold.
 
     impl='sort': lax.top_k (sorts all A columns — exact under ties).
-    impl='iter': k passes of max+mask — O(k*A) vector work instead of a
-    sort over A=8400; returns the k-th largest DISTINCT value, which
-    differs from 'sort' only when the k-th value is exactly tied
-    (measure-zero for the float products align is made of; both impls
-    then select via `align >= kth`, so near-ties select identically)."""
+    impl='iter' (default): k passes of max+mask — O(k*A) vector work
+    instead of a sort over A=8400; returns the k-th largest DISTINCT
+    value, which differs from 'sort' only when the k-th value is exactly
+    tied (measure-zero for the float products align is made of; both
+    impls then select via `align >= kth`, so near-ties select
+    identically). Measured on v5e nc=80 @640 b8: tal_assign 2.23 ms
+    (sort) -> 0.50 ms (iter) — the sort was the AF loss's single
+    largest term (benchmarks/afbench.py, 2026-08-20)."""
     if impl == "iter":
         x = align
         kth = jnp.max(x, axis=-1, keepdims=True)
@@ -316,7 +319,7 @@ def _kth_threshold(align, topk, impl="sort"):
 
 def tal_assign(pred_scores, pred_xyxy, anchor_pts, gt_boxes, gt_cls,
                gt_valid, topk=TAL_TOPK, alpha=TAL_ALPHA, beta=TAL_BETA,
-               with_stats=False, topk_impl="sort"):
+               with_stats=False, topk_impl="iter"):
     """Task-aligned assignment (dense, static shapes).
 
     Args:
