@@ -131,3 +131,27 @@ def test_detection_prf1_operating_point():
     p2, _, _ = detection_prf1([[(10, 10, 20, 20, 0.9, 1)]],
                               [[(0, 10, 10, 20, 20)]])
     assert p2 == 0.0
+
+
+def test_det_counts_shard_additivity(cfg, model_and_vars,
+                                     temp_dataset_dir):
+    """Per-shard detection counts sum to the whole-set counts — the
+    property that makes --val-det exact under --distributed (each
+    process scores its shard, counts are summed globally)."""
+    from yolo_from_scratch_tpu.data.dataset import YoloDataset
+    from yolo_from_scratch_tpu.infer.predict import Predictor
+    from yolo_from_scratch_tpu.train.map_eval import evaluate_det_counts
+    from yolo_from_scratch_tpu.train.metrics import prf1
+
+    _, variables = model_and_vars
+    ds = YoloDataset(str(temp_dataset_dir / "val" / "images"), 1,
+                     cfg.anchors_array, cfg.img_size)
+    pred = Predictor(variables, cfg, conf_threshold=1e-3)
+    whole = evaluate_det_counts(pred, ds)
+    n = len(ds)
+    half = n // 2
+    a = evaluate_det_counts(pred, ds, indices=range(half))
+    b = evaluate_det_counts(pred, ds, indices=range(half, n))
+    assert tuple(x + y for x, y in zip(a, b)) == tuple(whole)
+    # and prf1 over the summed counts is the global metric
+    assert prf1(*whole) == prf1(*(x + y for x, y in zip(a, b)))

@@ -121,6 +121,18 @@ def detection_prf1(detections, ground_truths, conf_threshold=0.5,
     meaningful for BOTH heads (the cell-aligned counter understates
     TAL-trained anchor-free models, train/metrics.py caveat).
     Returns (P%, R%, F1%)."""
+    from yolo_from_scratch_tpu.train.metrics import prf1
+
+    tp, fp, fn = detection_counts(detections, ground_truths,
+                                  conf_threshold, iou_threshold)
+    return prf1(tp, fp, fn)
+
+
+def detection_counts(detections, ground_truths, conf_threshold=0.5,
+                     iou_threshold=0.5):
+    """Raw (tp, fp, fn) behind `detection_prf1` — counts are additive
+    across dataset shards, which is what lets multi-host --val-det sum
+    per-process counts into GLOBAL metrics (cli.py distributed path)."""
     tp = fp = total_gt = 0
     for dets, gts in zip(detections, ground_truths):
         total_gt += len(gts)
@@ -141,10 +153,7 @@ def detection_prf1(detections, ground_truths, conf_threshold=0.5,
                     used[j] = True
                     continue
             fp += 1
-    fn = total_gt - tp
-    from yolo_from_scratch_tpu.train.metrics import prf1
-
-    return prf1(tp, fp, fn)
+    return tp, fp, total_gt - tp
 
 
 def coco_map(detections, ground_truths, num_classes=1,
@@ -205,18 +214,36 @@ def evaluate_det_prf1(predictor, dataset, max_images=None, batch_size=16,
     return detection_prf1(detections, gts, conf_threshold=conf_threshold)
 
 
+def evaluate_det_counts(predictor, dataset, indices=None, batch_size=16,
+                        conf_threshold=0.5):
+    """Raw detection (tp, fp, fn) over `indices` of the dataset (all
+    images when None). Counts are additive, so each process of a
+    multi-host run scores its own shard and the five scalars sum to the
+    GLOBAL metric (cli.py --val-det under --distributed)."""
+    detections, gts = _collect_dets_and_gts(
+        predictor, dataset, None, batch_size, indices=indices)
+    return detection_counts(detections, gts, conf_threshold=conf_threshold)
+
+
 def _collect_dets_and_gts(predictor, dataset, max_images=None,
-                          batch_size=16):
+                          batch_size=16, indices=None):
     """Run the predictor over a YoloDataset's images; read GT from its
     label files in ORIGINAL image coordinates (the predictor outputs
-    original coords, so no letterbox mapping is needed)."""
+    original coords, so no letterbox mapping is needed). `indices`
+    restricts to a subset (e.g. one process's shard)."""
     from PIL import Image
 
     from yolo_from_scratch_tpu.data.dataset import parse_label_file
     from yolo_from_scratch_tpu.infer.predict import BatchPredictor
 
-    n = len(dataset) if max_images is None else min(max_images, len(dataset))
-    paths = [dataset.imgs[i] for i in range(n)]
+    if indices is None:
+        n_all = (len(dataset) if max_images is None
+                 else min(max_images, len(dataset)))
+        indices = list(range(n_all))
+    else:
+        indices = list(indices)
+    n = len(indices)
+    paths = [dataset.imgs[i] for i in indices]
 
     if isinstance(predictor, BatchPredictor):
         detections = []
@@ -229,8 +256,8 @@ def _collect_dets_and_gts(predictor, dataset, max_images=None,
         detections = [predictor(p) for p in paths]
 
     gts = []
-    for i in range(n):
-        with Image.open(paths[i]) as im:
+    for k, i in enumerate(indices):
+        with Image.open(paths[k]) as im:
             w, h = im.size
         rows = parse_label_file(dataset.labels[i])
         gt = []
