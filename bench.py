@@ -333,7 +333,6 @@ def _load_lastgood():
 
 
 def main():
-    t_start = time.perf_counter()
     if not _probe_backend_retry():
         # honest failure record beats a silent hang past the driver budget;
         # surface the timestamped last-good measurement alongside
@@ -352,6 +351,10 @@ def main():
         os._exit(0)  # the stuck probe thread would block normal exit
     platform = jax.devices()[0].platform
     log(f"backend: {platform} ({jax.devices()[0]})")
+    # the elapsed budget gates below protect the driver's call budget
+    # from the multi-minute remote compiles — probe-retry wait time is
+    # not bench work, so the clock starts AFTER the probe succeeds
+    t_start = time.perf_counter()
 
     # Measure the ZERO-FLAGS CLI contract: config.auto_fast_layout is the
     # same resolver cli.py applies when no --packed/--dtype flags are
